@@ -1,0 +1,80 @@
+"""Voxel-grid downsampling.
+
+Replaces Open3D's C++ voxel_down_sample, used by every reference dataset
+sample (/root/reference/dataloader/kitti_loader.py:337-338,
+oxford_loader.py:174-175, threeDMatch_loader.py:150-151). Two variants:
+
+  * `voxel_downsample_np` — exact host-side numpy version for the data
+    pipeline (variable output size, like Open3D: mean of points per voxel).
+    A C++ implementation with the same contract lives in deepsir_tpu/native
+    and is used automatically when built.
+  * `voxel_downsample`   — jittable fixed-capacity version (sort + segment
+    mean) for fully on-device pipelines; pads to `capacity` voxels with a
+    validity mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def voxel_downsample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Average all channels of points falling in the same voxel.
+
+    points: (N, C) with xyz in the first 3 channels. Returns (V, C) with one
+    row per occupied voxel (ordered by voxel id — deterministic).
+    """
+    if len(points) == 0:
+        return points
+    coords = np.floor(points[:, :3] / voxel_size).astype(np.int64)
+    # lexicographic voxel key
+    coords -= coords.min(axis=0)
+    dims = coords.max(axis=0) + 1
+    keys = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    out = np.zeros((len(uniq), points.shape[1]), dtype=np.float64)
+    np.add.at(out, inv, points)
+    out /= counts[:, None]
+    return out.astype(points.dtype)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def voxel_downsample(points: jnp.ndarray, voxel_size: float, capacity: int,
+                     valid_mask: jnp.ndarray | None = None):
+    """Fixed-capacity on-device voxel downsample.
+
+    points: (N, C); voxel_size: float; capacity: max output voxels (static).
+    valid_mask: optional (N,) bool marking real (non-padding) input points.
+
+    Returns (out (capacity, C), mask (capacity,) bool). Occupied voxels are
+    mean-reduced; surplus voxels beyond `capacity` are dropped (log-free
+    truncation — size the capacity generously).
+    """
+    n, c = points.shape
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), dtype=bool)
+    coords = jnp.floor(points[:, :3] / voxel_size).astype(jnp.int32)
+    coords = coords - jnp.min(jnp.where(valid_mask[:, None], coords, 2**31 - 1), axis=0)
+    dims = jnp.max(jnp.where(valid_mask[:, None], coords, -1), axis=0) + 1
+    keys = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    keys = jnp.where(valid_mask, keys, jnp.iinfo(jnp.int32).max)  # padding last
+
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    pts_s = points[order]
+    valid_s = valid_mask[order]
+
+    is_new = jnp.concatenate([jnp.array([True]), keys_s[1:] != keys_s[:-1]])
+    is_new = is_new & valid_s
+    slot = jnp.cumsum(is_new) - 1                                   # (N,)
+    # padding points and voxels beyond capacity go to the dump slot
+    slot = jnp.where(valid_s & (slot < capacity), slot, capacity)
+
+    sums = jnp.zeros((capacity + 1, c), points.dtype).at[slot].add(pts_s)
+    cnts = jnp.zeros((capacity + 1,), jnp.int32).at[slot].add(valid_s.astype(jnp.int32))
+    out = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1)
+    mask = cnts[:capacity] > 0
+    return out, mask
