@@ -1,0 +1,232 @@
+"""Top-level network: label / feat / align pipelines.
+
+TPU-native re-design of the reference's Network
+(/root/reference/network/model.py:119-757). One flax module owns the RandLA
+feature extractor, the aggregation MLPs and (for align) a second RandLA
+inlier network; pipeline dispatch selects which forward method runs. The
+whole forward — pyramid-consuming backbone passes, keypoint scoring, tiled
+correspondence search, inlier weighting and the weighted-Kabsch solve over
+`num_iter` registration iterations — is one pure jittable function with
+static shapes.
+
+Input contract (`PairBatch`): clouds are pre-resampled to exactly
+cfg.num_points in randomized order (the data layer guarantees this —
+the random-subsample pyramid trick depends on it, see ops/pyramid.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deepsir_tpu.config import ModelConfig
+from deepsir_tpu.math import se3
+from deepsir_tpu.models.layers import MLP
+from deepsir_tpu.models.randla import RandLA
+from deepsir_tpu.models.scoring import score_points, top_k_select
+from deepsir_tpu.ops.distance import nearest_neighbour_index
+from deepsir_tpu.ops.gather import gather_points
+from deepsir_tpu.ops.pyramid import Pyramid
+from deepsir_tpu.ops.svd3 import weighted_kabsch
+
+
+class PairBatch(NamedTuple):
+    """Static-shaped batch of cloud pairs (the device-side contract that
+    replaces the reference's collate dict, data_base.py:196-219)."""
+    points_src: jnp.ndarray            # (B, N, C) xyz + extra channels
+    points_ref: jnp.ndarray            # (B, N, C)
+    pyramid_src: Pyramid               # per-level indices, batch-leading
+    pyramid_ref: Pyramid
+    transform_gt: jnp.ndarray          # (B, 3, 4)
+    labels_src: Optional[jnp.ndarray] = None   # (B, N) int32
+    labels_ref: Optional[jnp.ndarray] = None
+    matches: Optional[jnp.ndarray] = None      # (B, M_cap, 2) int32, -1 padded
+    num_matches: Optional[jnp.ndarray] = None  # (B,)
+
+
+class PairOutput(NamedTuple):
+    """forward_pair endpoints (reference model.py:609-666)."""
+    feat_src: jnp.ndarray              # (B, N, C) L2-normalized descriptors
+    feat_ref: jnp.ndarray
+    xyz_src: jnp.ndarray               # (B, N, 3)
+    xyz_ref: jnp.ndarray
+    logits_src: jnp.ndarray            # (B, N, num_classes)
+    logits_ref: jnp.ndarray
+    score_src: Optional[jnp.ndarray] = None    # (B, N)
+    score_ref: Optional[jnp.ndarray] = None
+
+
+class AlignOutput(NamedTuple):
+    """forward_align endpoints (reference model.py:520-607)."""
+    transforms: jnp.ndarray            # (iters, B, 3, 4) cumulative src->ref
+    inlier_logits: jnp.ndarray         # (iters, B, N)
+    pred_idx: jnp.ndarray              # (iters, B, N) matched ref index
+    invalid: jnp.ndarray               # (B,) bool — any SVD failure
+    pt_src: jnp.ndarray                # (B, N, 3) untransformed source
+    pt_ref: jnp.ndarray                # (B, N, 3)
+    score_src: jnp.ndarray             # (B, N)
+    score_ref: jnp.ndarray
+
+
+class ForwardOptions(NamedTuple):
+    """Static forward options (the reference's `opt` tuple, model.py:533)."""
+    num_iter: int = 2
+    clip_weight: bool = False
+
+
+class Network(nn.Module):
+    cfg: ModelConfig
+    pipeline: str = "align"            # 'label' | 'feat' | 'align'
+
+    def setup(self):
+        cfg = self.cfg
+        assert self.pipeline in ("label", "feat", "align")
+        self.feat_extractor = RandLA(cfg, num_classes=cfg.num_classes)
+
+        if self.pipeline != "label":
+            c = cfg.out_feat_dim
+            # aggregation MLPs (reference model.py:158-170)
+            self.mlp_feat = MLP((c, 128, c))
+            self.mlp_att = MLP((32, 64, 128, 256, c))
+            self.mlp_proj = MLP((c,))
+
+        if self.pipeline == "align":
+            # second RandLA over [src_xyz ; matched_ref_xyz] -> 1 logit/point
+            # (reference model.py:191-193)
+            from deepsir_tpu.config import replace as cfg_replace
+            inlier_cfg = cfg_replace(cfg, feat_len=6, use_ppf=False)
+            self.inlier_model = RandLA(inlier_cfg, num_classes=1)
+
+    # ------------------------------------------------------------------ core
+
+    def backbone(self, points: jnp.ndarray, pyr: Pyramid, train: bool):
+        """One RandLA pass: features + semantic logits for one cloud batch."""
+        return self.feat_extractor(points, pyr, train=train)
+
+    def aggregation(self, xyz_src, xyz_ref, feat_src, feat_ref,
+                    score_src, score_ref):
+        """Fuse descriptor features with geometric context and L2-normalize.
+
+        (reference Network.aggregation, model.py:209-235)
+        """
+        fs = self.mlp_feat(feat_src)
+        fr = self.mlp_feat(feat_ref)
+        gs = self.mlp_att(jnp.concatenate([xyz_src, score_src[..., None]], axis=-1))
+        gr = self.mlp_att(jnp.concatenate([xyz_ref, score_ref[..., None]], axis=-1))
+        fs = self.mlp_proj(fs + gs)
+        fr = self.mlp_proj(fr + gr)
+        fs = fs / (jnp.linalg.norm(fs, axis=-1, keepdims=True) + 1e-12)
+        fr = fr / (jnp.linalg.norm(fr, axis=-1, keepdims=True) + 1e-12)
+        return fs, fr
+
+    # --------------------------------------------------------------- pipelines
+
+    def forward_pair(self, batch: PairBatch, train: bool = False,
+                     with_scores: bool = None) -> PairOutput:
+        """Feature extraction over both clouds (+ scoring for feat/align).
+
+        (reference Network.forward_pair, model.py:609-666)
+        """
+        cfg = self.cfg
+        if with_scores is None:
+            with_scores = self.pipeline != "label"
+
+        feat_src, logits_src = self.backbone(batch.points_src, batch.pyramid_src, train)
+        feat_ref, logits_ref = self.backbone(batch.points_ref, batch.pyramid_ref, train)
+        xyz_src = batch.points_src[..., :3]
+        xyz_ref = batch.points_ref[..., :3]
+
+        score_src = score_ref = None
+        if with_scores:
+            score_src = score_points(feat_src, xyz_src, logits_src,
+                                     batch.pyramid_src.neigh_idx[0])
+            score_ref = score_points(feat_ref, xyz_ref, logits_ref,
+                                     batch.pyramid_ref.neigh_idx[0])
+
+            if self.pipeline == "feat":
+                # descriptor head: aggregate + normalize (model.py:650-654)
+                feat_src, feat_ref = self.aggregation(
+                    xyz_src, xyz_ref, feat_src, feat_ref, score_src, score_ref)
+                if cfg.num_sub > 0:
+                    # top-k keypoint sub-selection (model.py:681-698)
+                    score_src, xyz_src, feat_src = top_k_select(
+                        score_src, cfg.num_sub, xyz_src, feat_src)
+                    score_ref, xyz_ref, feat_ref = top_k_select(
+                        score_ref, cfg.num_sub, xyz_ref, feat_ref)
+        if self.pipeline == "label" or self.pipeline == "align":
+            feat_src = feat_src / (jnp.linalg.norm(feat_src, axis=-1, keepdims=True) + 1e-12)
+            feat_ref = feat_ref / (jnp.linalg.norm(feat_ref, axis=-1, keepdims=True) + 1e-12)
+
+        return PairOutput(feat_src, feat_ref, xyz_src, xyz_ref,
+                          logits_src, logits_ref, score_src, score_ref)
+
+
+    def forward_align(self, batch: PairBatch, opts: ForwardOptions,
+                      train: bool = False) -> Tuple[jnp.ndarray, AlignOutput]:
+        """Iterative registration (reference forward_align_4, model.py:520-607).
+
+        Per iteration: re-aggregate descriptors against the current source
+        pose, tiled nearest-neighbour correspondence search, inlier RandLA
+        weighting over [src ; matched-ref] pairs, weighted-Kabsch solve,
+        compose. Returns (transforms (iters, B, 3, 4), AlignOutput).
+        """
+        cfg = self.cfg
+        feat_src0, logits_src = self.backbone(batch.points_src, batch.pyramid_src, train=False)
+        feat_ref0, logits_ref = self.backbone(batch.points_ref, batch.pyramid_ref, train=False)
+        xyz_src0 = batch.points_src[..., :3]
+        xyz_ref = batch.points_ref[..., :3]
+
+        score_src = score_points(feat_src0, xyz_src0, logits_src,
+                                 batch.pyramid_src.neigh_idx[0])
+        score_ref = score_points(feat_ref0, xyz_ref, logits_ref,
+                                 batch.pyramid_ref.neigh_idx[0])
+
+        xyz_src = xyz_src0
+        transforms, logits_iters, idx_iters = [], [], []
+        invalid = jnp.zeros(xyz_src.shape[:-2], dtype=bool)
+        for it in range(opts.num_iter):
+            fs, fr = self.aggregation(xyz_src, xyz_ref, feat_src0, feat_ref0,
+                                      score_src, score_ref)
+            # correspondence search — integer output, no gradient flows
+            idx = nearest_neighbour_index(fs, fr)                 # (B, N)
+            xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
+
+            # learned inlier confidence over concatenated pair coordinates
+            pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
+            _, inlier_logit = self.inlier_model(pair_feats, batch.pyramid_src,
+                                                train=train)
+            inlier_logit = inlier_logit[..., 0]                   # (B, N)
+            weights = jax.nn.sigmoid(inlier_logit)
+            if opts.clip_weight and cfg.clip_weight_thresh > 0:
+                weights = jnp.where(weights < cfg.clip_weight_thresh,
+                                    0.0, weights)
+
+            r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
+            invalid = invalid | bad
+
+            # move the source by the (gradient-detached) increment
+            xyz_src = se3.transform(jax.lax.stop_gradient(r_t), xyz_src)
+
+            transforms.append(r_t if it == 0
+                              else se3.concatenate(r_t, transforms[-1]))
+            logits_iters.append(inlier_logit)
+            idx_iters.append(idx)
+
+        transforms = jnp.stack(transforms, axis=0)                # (iters, B, 3, 4)
+        out = AlignOutput(
+            transforms=transforms,
+            inlier_logits=jnp.stack(logits_iters, axis=0),
+            pred_idx=jnp.stack(idx_iters, axis=0),
+            invalid=invalid,
+            pt_src=xyz_src0, pt_ref=xyz_ref,
+            score_src=score_src, score_ref=score_ref)
+        return transforms, out
+
+    def __call__(self, batch: PairBatch, opts: ForwardOptions = ForwardOptions(),
+                 train: bool = False):
+        """Pipeline dispatch (reference Network.forward, model.py:297-298)."""
+        if self.pipeline == "align":
+            return self.forward_align(batch, opts, train=train)
+        return None, self.forward_pair(batch, train=train)

@@ -112,8 +112,7 @@ class RandLA(nn.Module):
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, pyr: Pyramid,
-                 dropout_rng=None, train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         num_layers = cfg.num_layers
         d_mid = cfg.d_out
@@ -149,10 +148,7 @@ class RandLA(nn.Module):
                         kernel_init=nn.initializers.he_normal(),
                         name="mlp_out")(x)                     # (..., N, C_out)
 
-        logits = feat
-        if train and dropout_rng is not None:
-            logits = nn.Dropout(rate=cfg.dropout_rate, deterministic=False)(
-                logits, rng=dropout_rng)
+        logits = nn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(feat)
         logits = MLP((cfg.out_feat_dim, 32, self.num_classes),
                      name="fc_label")(logits)                  # (..., N, classes)
         return feat, logits

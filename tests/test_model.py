@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsir_tpu.config import ModelConfig
+from deepsir_tpu.models import Network, ForwardOptions
+from deepsir_tpu.models.network import PairBatch
+from deepsir_tpu.models.randla import RandLA
+from deepsir_tpu.ops import build_pyramid
+
+TINY = ModelConfig(feat_len=3, num_points=256, num_knn=8,
+                   sub_sampling_ratio=(4, 4), d_out=(8, 16), out_feat_dim=16)
+
+
+def make_batch(rng, cfg=TINY, batch=2, with_labels=False):
+    pts_src = rng.normal(size=(batch, cfg.num_points, cfg.feat_len)).astype(np.float32)
+    pts_ref = rng.normal(size=(batch, cfg.num_points, cfg.feat_len)).astype(np.float32)
+    pyr_src = build_pyramid(jnp.asarray(pts_src[..., :3]), cfg.num_knn,
+                            cfg.sub_sampling_ratio, chunk=128)
+    pyr_ref = build_pyramid(jnp.asarray(pts_ref[..., :3]), cfg.num_knn,
+                            cfg.sub_sampling_ratio, chunk=128)
+    labels = rng.integers(0, 19, size=(batch, cfg.num_points)).astype(np.int32) \
+        if with_labels else None
+    return PairBatch(jnp.asarray(pts_src), jnp.asarray(pts_ref),
+                     pyr_src, pyr_ref,
+                     transform_gt=jnp.broadcast_to(jnp.eye(3, 4), (batch, 3, 4)),
+                     labels_src=jnp.asarray(labels) if with_labels else None,
+                     labels_ref=jnp.asarray(labels) if with_labels else None)
+
+
+def test_randla_shapes(rng):
+    batch = make_batch(rng)
+    model = RandLA(TINY, num_classes=19)
+    params = model.init(jax.random.PRNGKey(0), batch.points_src, batch.pyramid_src)
+    feat, logits = model.apply(params, batch.points_src, batch.pyramid_src)
+    assert feat.shape == (2, 256, 16)
+    assert logits.shape == (2, 256, 19)
+    assert np.all(np.isfinite(np.asarray(feat)))
+
+
+def test_forward_pair_label(rng):
+    batch = make_batch(rng, with_labels=True)
+    model = Network(TINY, pipeline="label")
+    params = model.init(jax.random.PRNGKey(0), batch)
+    _, out = model.apply(params, batch)
+    assert out.logits_src.shape == (2, 256, 19)
+    assert out.score_src is None
+    # label-pipeline features are L2-normalized
+    norms = np.linalg.norm(np.asarray(out.feat_src), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_forward_pair_feat_with_subselection(rng):
+    cfg = ModelConfig(feat_len=3, num_points=256, num_knn=8,
+                      sub_sampling_ratio=(4, 4), d_out=(8, 16),
+                      out_feat_dim=16, num_sub=64)
+    batch = make_batch(rng, cfg)
+    model = Network(cfg, pipeline="feat")
+    params = model.init(jax.random.PRNGKey(0), batch)
+    _, out = model.apply(params, batch)
+    assert out.feat_src.shape == (2, 64, 16)
+    assert out.xyz_src.shape == (2, 64, 3)
+    assert out.score_src.shape == (2, 64)
+    # scores are sorted descending after top-k
+    s = np.asarray(out.score_src)
+    assert np.all(np.diff(s, axis=-1) <= 1e-6)
+
+
+def test_forward_align_shapes_and_validity(rng):
+    batch = make_batch(rng)
+    model = Network(TINY, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    transforms, out = model.apply(params, batch, ForwardOptions(num_iter=2))
+    assert transforms.shape == (2, 2, 3, 4)
+    assert out.inlier_logits.shape == (2, 2, 256)
+    assert out.pred_idx.shape == (2, 2, 256)
+    assert not np.any(np.asarray(out.invalid))
+    # every iteration's transform is a proper rotation
+    dets = np.linalg.det(np.asarray(transforms)[..., :3])
+    assert np.all(dets > 0.9)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+
+
+def test_forward_align_gradients_flow_to_inlier_net(rng):
+    batch = make_batch(rng)
+    model = Network(TINY, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(1))
+
+    def loss_fn(p):
+        transforms, out = model.apply(p, batch, ForwardOptions(num_iter=1))
+        return jnp.sum(jnp.abs(transforms)) + 0.0 * jnp.sum(out.inlier_logits)
+
+    grads = jax.grad(loss_fn)(params)
+    g = jax.tree_util.tree_leaves(
+        grads["params"]["inlier_model"])
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in g)
+    assert np.isfinite(total) and total > 0.0
+
+
+def test_align_jit_compiles(rng):
+    batch = make_batch(rng)
+    model = Network(TINY, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(1))
+    fwd = jax.jit(lambda p, b: model.apply(p, b, ForwardOptions(num_iter=1)))
+    t1, _ = fwd(params, batch)
+    t2, _ = fwd(params, batch)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
