@@ -1,0 +1,274 @@
+import os
+import pickle
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from deepsir_tpu.config import Config, ModelConfig, DataConfig, replace
+from deepsir_tpu.data import transforms as T
+from deepsir_tpu.data.base import Loader, make_pair_arrays
+from deepsir_tpu.data.synthetic import SyntheticPairs
+from deepsir_tpu.math import se3_np
+
+TINY_CFG = Config(
+    pipeline="align",
+    model=ModelConfig(feat_len=3, num_points=256, num_knn=8,
+                      sub_sampling_ratio=(4, 4), d_out=(8, 16), out_feat_dim=16),
+    data=DataConfig(dataset_type="Synthetic", max_matches=2000),
+).resolved()
+
+
+# -------------------------------------------------------------- transforms
+
+def test_resample_exact_counts(rng):
+    pts = rng.normal(size=(100, 4))
+    assert T.resample(rng, pts, 50).shape == (50, 4)
+    up = T.resample(rng, pts, 250)
+    assert up.shape == (250, 4)
+    # every original point appears at least once
+    assert len(np.unique(up[:, 0])) == 100
+
+
+def test_fixed_resample_tiles():
+    pts = np.arange(12, dtype=np.float64).reshape(4, 3)
+    out = T.fixed_resample(pts, 10)
+    assert out.shape == (10, 3)
+    np.testing.assert_array_equal(out[:4], pts)
+    np.testing.assert_array_equal(out[4:8], pts)
+    np.testing.assert_array_equal(out[8:], pts[:2])
+    down = T.fixed_resample(pts, 3)
+    np.testing.assert_array_equal(down, pts[:3])
+
+
+def test_jitter_clipped(rng):
+    pts = np.zeros((1000, 3))
+    out = T.RandomJitter(scale=0.05, clip=0.02).jitter(rng, pts)
+    assert np.abs(out).max() <= 0.02 + 1e-9
+
+
+def test_halfspace_crop_fraction(rng):
+    pts = rng.normal(size=(1000, 3))
+    out = T.halfspace_crop(rng, pts, 0.7)
+    assert abs(len(out) - 700) < 20
+
+
+def test_random_transform_se3_gt_realigns(rng):
+    tr = T.RandomTransformSE3Euler(rot_mag=45, trans_mag=2, xy_rot_scale=0.1)
+    pts = rng.normal(size=(50, 3))
+    moved, gt, igt = tr.transform(rng, pts)
+    back = se3_np.transform(gt, moved)
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_process_point_cloud_crops():
+    cloud = np.array([[0.5, 0, 0], [10, 0, 0], [5, 0, -5], [5, 0, 5], [70, 0, 0]])
+    out = T.process_point_cloud(cloud, r_min=1.0, r_max=50.0, z_min=-3, z_max=10)
+    np.testing.assert_array_equal(out, [[10, 0, 0], [5, 0, 5]])
+
+
+# -------------------------------------------------------------- synthetic + loader
+
+def test_synthetic_sample_contract(rng):
+    ds = SyntheticPairs(TINY_CFG, "train", size=4)
+    s = ds.get_sample(0, rng)
+    assert s["points_src"].shape == (256, 3)
+    assert s["points_ref"].shape == (256, 3)
+    assert s["transform_gt"].shape == (3, 4)
+    assert s["matches"].shape == (2000, 2)
+    assert s["num_matches"] > 100
+    # GT transform actually maps src onto ref for the matched pairs
+    m = s["matches"][:s["num_matches"]]
+    src_t = se3_np.transform(s["transform_gt"], s["points_src"][m[:, 0]])
+    d = np.linalg.norm(src_t - s["points_ref"][m[:, 1]], axis=1)
+    assert np.all(d < TINY_CFG.data.thres_radius + 1e-5)
+
+
+def test_loader_batches():
+    ds = SyntheticPairs(TINY_CFG, "train", size=5)
+    loader = Loader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["points_src"].shape == (2, 256, 3)
+    assert batches[-1]["points_src"].shape == (1, 256, 3)
+    assert batches[0]["matches"].shape == (2, 2000, 2)
+    # reproducibility: a fresh loader with the same seed yields the same batch
+    l2 = Loader(ds, batch_size=2, shuffle=True, num_workers=2)
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b2["points_src"], batches[0]["points_src"])
+
+
+def test_test_split_is_deterministic():
+    cfg = replace(TINY_CFG, pipeline="align")
+    ds = SyntheticPairs(cfg, "test", size=3)
+    a = ds.get_sample(1, np.random.default_rng(0))
+    b = ds.get_sample(1, np.random.default_rng(99))
+    np.testing.assert_array_equal(a["points_src"], b["points_src"])
+
+
+# -------------------------------------------------------------- kitti fixtures
+
+@pytest.fixture
+def kitti_root(tmp_path):
+    """Fabricate a miniature KITTI odometry tree: 1 sequence, 6 scans."""
+    root = tmp_path / "KITTI"
+    seq = root / "dataset" / "sequences" / "00"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir(parents=True)
+    (root / "dataset" / "poses").mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    poses = []
+    base = rng.uniform(-1, 1, size=(4000, 4)).astype(np.float32)
+    base[:, :3] *= 20.0
+    base[:, 2] = np.abs(base[:, 2]) * 0.2  # keep z in crop range
+    for t in range(6):
+        # forward motion along x: 1.5 m per frame
+        cloud = base.copy()
+        cloud[:, 3] = rng.uniform(0, 1, size=len(cloud))
+        cloud.tofile(seq / "velodyne" / f"{t:06d}.bin")
+        labels = rng.choice([10, 40, 50, 70], size=len(cloud)).astype(np.int32)
+        labels.tofile(seq / "labels" / f"{t:06d}.label")
+        pose = np.eye(4)
+        pose[0, 3] = 1.5 * t
+        poses.append(pose[:3].reshape(-1))
+    np.savetxt(root / "dataset" / "poses" / "00.txt", np.stack(poses))
+    return root
+
+
+def test_kitti_pair_index_and_load(kitti_root):
+    from deepsir_tpu.data.kitti import KITTIPair, TRAIN_SEQS
+    cfg = replace(
+        TINY_CFG,
+        data=replace(TINY_CFG.data, dataset_type="KITTI",
+                     dataset_path=str(kitti_root), voxel_size=0.3),
+        model=replace(TINY_CFG.model, feat_len=4))
+    import deepsir_tpu.data.kitti as K
+    orig = K.TRAIN_SEQS
+    K.TRAIN_SEQS = (0,)
+    try:
+        ds = KITTIPair(cfg, "train")
+        # 6 frames, diffs {2}: (0,2),(1,3),(2,4),(3,5)  [diff 3 excluded: range(2,3)]
+        assert len(ds.files) == 4
+        src, ref, gt, meta = ds.get_pair(0)
+        assert src.shape[1] == 5 and ref.shape[1] == 5
+        assert gt.shape == (4, 4)
+        # ICP cache file written
+        assert len(os.listdir(kitti_root / "icp_opti_pose")) == 1
+        s = ds.get_sample(0, np.random.default_rng(0))
+        assert s["points_src"].shape == (256, 4)
+    finally:
+        K.TRAIN_SEQS = orig
+
+
+def test_semantic_kitti_labels(kitti_root):
+    from deepsir_tpu.data.kitti import SemanticKITTIPair
+    import deepsir_tpu.data.kitti as K
+    cfg = replace(
+        TINY_CFG,
+        data=replace(TINY_CFG.data, dataset_type="KITTI",
+                     dataset_path=str(kitti_root)),
+        model=replace(TINY_CFG.model, feat_len=4))
+    orig = K.TRAIN_SEQS
+    K.TRAIN_SEQS = (0,)
+    try:
+        ds = SemanticKITTIPair(cfg, "train")
+        s = ds.get_sample(0, np.random.default_rng(0))
+        assert s["labels_src"].shape == (256,)
+        # raw ids {10,40,50,70} remap to {1,9,13,15}
+        assert set(np.unique(s["labels_src"])) <= {1, 9, 13, 15}
+    finally:
+        K.TRAIN_SEQS = orig
+
+
+def test_learning_map():
+    from deepsir_tpu.data.semantic_kitti import remap_labels
+    raw = np.array([0, 10, 252, 99, 81])
+    np.testing.assert_array_equal(remap_labels(raw), [0, 1, 1, 0, 19])
+
+
+# -------------------------------------------------------------- 3dmatch io
+
+def test_ply_roundtrip(tmp_path):
+    from deepsir_tpu.data.threedmatch import read_ply_xyz
+    pts = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    # binary little-endian ply
+    path = tmp_path / "test.ply"
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 50\n")
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"end_header\n")
+        f.write(pts.tobytes())
+    out = read_ply_xyz(str(path))
+    np.testing.assert_allclose(out, pts, atol=1e-6)
+
+
+def test_gt_log_parse(tmp_path):
+    from deepsir_tpu.data.threedmatch import read_gt_log
+    mat = np.arange(16, dtype=float).reshape(4, 4)
+    path = tmp_path / "gt.log"
+    with open(path, "w") as f:
+        f.write("0 3 52\n")
+        for row in mat:
+            f.write(" ".join(str(v) for v in row) + "\n")
+    out = read_gt_log(str(path))
+    assert len(out) == 1 and out[0][0] == 0 and out[0][1] == 3
+    np.testing.assert_array_equal(out[0][2], mat)
+
+
+# -------------------------------------------------------------- oxford io
+
+def test_oxford_test_split(tmp_path):
+    from deepsir_tpu.data.oxford import Oxford, TEST_DIR
+    root = tmp_path / "Oxford"
+    (root / TEST_DIR).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    cloud = rng.uniform(-20, 20, size=(3000, 3))
+    cloud[:, 2] = np.abs(cloud[:, 2]) * 0.3
+    np.save(root / TEST_DIR / "0.npy", cloud)
+    rot = Rotation.from_euler("z", 15, degrees=True)
+    quat_xyzw = rot.as_quat()
+    q = np.array([quat_xyzw[3], *quat_xyzw[:3]])   # wxyz
+    t = np.array([1.0, 0.5, 0.0])
+    moved = cloud @ rot.as_matrix().T + t
+    np.save(root / TEST_DIR / "1.npy", moved)
+    with open(root / TEST_DIR / "groundtruths.pkl", "wb") as f:
+        pickle.dump([{"anc_idx": 1, "pos_idx": 0, "neg_idx": 2, "q": q, "t": t}], f)
+
+    cfg = replace(TINY_CFG,
+                  data=replace(TINY_CFG.data, dataset_type="Oxford",
+                               dataset_path=str(root)))
+    ds = Oxford(cfg, "test")
+    src, ref, gt, meta = ds.get_pair(0)
+    # gt maps src (pos=original) onto ref (anc=moved)
+    src_t = se3_np.transform(gt, src[:, :3])
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(ref[:, :3]).query(src_t)
+    assert np.median(d) < 0.5   # voxelization jitter only
+
+
+# -------------------------------------------------------------- icp
+
+def test_icp_np_refines_pose(rng):
+    from deepsir_tpu.ops.icp import icp_np
+    pts = rng.uniform(-5, 5, size=(2000, 3))
+    rot = Rotation.from_euler("zyx", [8, 3, -4], degrees=True).as_matrix()
+    t = np.array([0.4, -0.2, 0.1])
+    tgt = pts @ rot.T + t
+    init = np.eye(4)  # start from identity — close enough for small motion
+    out = icp_np(pts, tgt, max_corr_dist=1.0, init=init, max_iter=100)
+    np.testing.assert_allclose(out[:3, :3], rot, atol=1e-3)
+    np.testing.assert_allclose(out[:3, 3], t, atol=1e-3)
+
+
+def test_icp_jit_refines_pose(rng):
+    import jax.numpy as jnp
+    from deepsir_tpu.ops.icp import icp
+    pts = rng.uniform(-5, 5, size=(512, 3)).astype(np.float32)
+    rot = Rotation.from_euler("z", 5, degrees=True).as_matrix()
+    t = np.array([0.2, 0.1, 0.0])
+    tgt = (pts @ rot.T + t).astype(np.float32)
+    out = np.asarray(icp(jnp.asarray(pts), jnp.asarray(tgt), 1.0,
+                         num_iter=25, chunk=128))
+    np.testing.assert_allclose(out[:, :3], rot, atol=1e-3)
+    np.testing.assert_allclose(out[:, 3], t, atol=1e-3)
