@@ -1,0 +1,151 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsir_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
+                                TrainConfig, replace)
+from deepsir_tpu.data.base import Loader
+from deepsir_tpu.data.synthetic import SyntheticPairs
+from deepsir_tpu.training import (TRAINABLE_GROUPS, batch_arrays_only,
+                                  create_train_state, make_eval_step,
+                                  make_forward_step, make_optimizer,
+                                  make_train_step)
+from deepsir_tpu.utils.checkpoint import CheckPointManager, partial_restore
+
+
+def tiny_cfg(pipeline="align", **model_kw):
+    model = ModelConfig(feat_len=3, num_points=256, num_knn=8,
+                        sub_sampling_ratio=(4, 4), d_out=(8, 16),
+                        out_feat_dim=16, num_train_reg_iter=1,
+                        num_reg_iter=2, **model_kw)
+    return Config(pipeline=pipeline, model=model,
+                  data=DataConfig(dataset_type="Synthetic", max_matches=2000),
+                  loss=LossConfig(), train=TrainConfig(lr=1e-3)).resolved()
+
+
+def get_batch(cfg, split="train", n=2):
+    ds = SyntheticPairs(cfg, split, size=n)
+    loader = Loader(ds, batch_size=n, shuffle=False, num_workers=1)
+    return batch_arrays_only(next(iter(loader)))
+
+
+def changed(a, b):
+    return any(not np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
+def test_align_train_step_updates_only_inlier():
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    tx = make_optimizer(cfg, state.params, 10)
+    step_fn = make_train_step(cfg, model, tx)
+    new_state, aux = step_fn(state, arrays, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert not bool(aux["skipped"])
+    p0, p1 = state.params["params"], new_state.params["params"]
+    assert changed(p1["inlier_model"], p0["inlier_model"])
+    assert not changed(p1["feat_extractor"], p0["feat_extractor"])
+    assert not changed(p1["mlp_feat"], p0["mlp_feat"])
+
+
+def test_label_train_step_decreases_loss():
+    cfg = tiny_cfg("label")
+    ds = SyntheticPairs(cfg, "train", size=1)
+    loader = Loader(ds, batch_size=1, shuffle=False)
+    arrays = batch_arrays_only(next(iter(loader)))
+    # fabricate consistent labels from height so the task is learnable
+    z = arrays["points_src"][..., 2]
+    arrays["labels_src"] = (1 + (z > np.median(z)).astype(np.int32) * 8)
+    z = arrays["points_ref"][..., 2]
+    arrays["labels_ref"] = (1 + (z > np.median(z)).astype(np.int32) * 8)
+
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=100)
+    tx = make_optimizer(cfg, state.params, 100)
+    step_fn = make_train_step(cfg, model, tx)
+    losses = []
+    for i in range(15):
+        state, aux = step_fn(state, arrays, jax.random.PRNGKey(i))
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_feat_train_step_runs():
+    cfg = tiny_cfg("feat")
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    tx = make_optimizer(cfg, state.params, 10)
+    step_fn = make_train_step(cfg, model, tx)
+    new_state, aux = step_fn(state, arrays, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    p0, p1 = state.params["params"], new_state.params["params"]
+    assert changed(p1["mlp_feat"], p0["mlp_feat"])
+    assert not changed(p1["feat_extractor"], p0["feat_extractor"])
+
+
+def test_eval_step_runs():
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg, "test")
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    eval_fn = make_eval_step(cfg, model)
+    transforms, out = eval_fn(state.params, arrays)
+    assert transforms.shape == (cfg.model.num_reg_iter, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+
+
+def test_forward_step_label():
+    cfg = tiny_cfg("label")
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    fwd = make_forward_step(cfg, model)
+    out = fwd(state.params, arrays)
+    assert out.logits_src.shape == (2, 256, 19)
+
+
+def test_nan_guard_skips_update():
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    tx = make_optimizer(cfg, state.params, 10)
+    step_fn = make_train_step(cfg, model, tx)
+    bad = dict(arrays)
+    bad["points_src"] = np.full_like(arrays["points_src"], np.nan)
+    new_state, aux = step_fn(state, bad, jax.random.PRNGKey(0))
+    assert bool(aux["skipped"])
+    assert not changed(new_state.params, state.params)
+    assert int(new_state.step) == 1    # step counter still advances
+
+
+def test_checkpoint_roundtrip_and_partial(tmp_path):
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    mgr = CheckPointManager(str(tmp_path), max_to_keep=2)
+    mgr.save(state, 1, score=0.5)
+    mgr.save(state, 2, score=0.9)
+    mgr.save(state, 3, score=0.1)   # model_1 rotated out -> time-pinned keep
+    mgr.save(state, 4, score=0.2)   # model_2 rotated out -> deleted
+    import os
+    files = sorted(os.listdir(tmp_path))
+    assert "model_1.msgpack" in files      # pinned permanent
+    assert "model_2.msgpack" not in files  # ring-buffer delete
+    assert "model_best.msgpack" in files and "model_4.msgpack" in files
+    restored, step = mgr.load(str(tmp_path / "model_3.msgpack"), state)
+    assert step == 3
+    assert not changed(restored.params, state.params)
+
+    # staged partial restore: a label-pipeline checkpoint provides the
+    # feat_extractor for an align model
+    cfg_l = tiny_cfg("label")
+    model_l, state_l = create_train_state(cfg_l, {k: v for k, v in arrays.items()
+                                                  if not k.startswith("match") and k != "num_matches"},
+                                          steps_per_epoch=10)
+    mgr2 = CheckPointManager(str(tmp_path / "l"))
+    path = mgr2.save(state_l.params, 7)
+    merged, loaded = partial_restore(path, state.params)
+    assert loaded > 0
+    fe_new = jax.tree_util.tree_leaves(merged["params"]["feat_extractor"])
+    fe_l = jax.tree_util.tree_leaves(state_l.params["params"]["feat_extractor"])
+    for a, b in zip(fe_new, fe_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
