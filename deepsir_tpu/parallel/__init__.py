@@ -1,0 +1,5 @@
+from deepsir_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from deepsir_tpu.parallel.sharded import (make_sharded_train_step,
+                                          make_sharded_eval_step, shard_batch)
+from deepsir_tpu.parallel.matching import (ring_nearest_neighbour_index,
+                                           sharded_nearest_neighbour_index)

@@ -1,0 +1,69 @@
+"""Data-parallel train/eval steps over a device mesh.
+
+The single-device steps in training.py are already pure jitted functions of
+(state, batch-arrays, rng); scaling out is therefore a sharding annotation,
+not a rewrite: batch arrays are sharded over the mesh's ``data`` axis,
+parameters and optimizer state are replicated, and XLA inserts the gradient
+all-reduce (psum over ICI) where the replicated-params/sharded-batch
+contraction requires it.
+
+This replaces nothing in the reference — it has no distributed runtime at
+all (SURVEY.md §2.5) — and is where the >=20x pairs/sec/chip target comes
+from: vmapped pair batching per chip x DP over the slice.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepsir_tpu.config import Config
+from deepsir_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from deepsir_tpu.training import (TrainState, make_eval_step, make_train_step)
+
+
+def shard_batch(mesh: Mesh, arrays: Dict[str, np.ndarray]):
+    """Place host batch arrays on the mesh, batch dim split over 'data'.
+
+    Batch size must be divisible by the data-axis size.
+    """
+    sh = batch_sharding(mesh)
+    ndata = mesh.shape[DATA_AXIS]
+    out = {}
+    for k, v in arrays.items():
+        assert v.shape[0] % ndata == 0, (
+            f"batch dim {v.shape[0]} of '{k}' not divisible by data axis {ndata}")
+        out[k] = jax.device_put(v, sh)
+    return out
+
+
+def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
+    return jax.device_put(state, replicated(mesh))
+
+
+def make_sharded_train_step(cfg: Config, model, tx, mesh: Mesh):
+    """Jitted DP train step: params replicated, batch sharded on 'data'.
+
+    Returns a function (state, arrays, rng) -> (state, aux); inputs may be
+    host arrays (they are placed according to the shardings at call time).
+    """
+    base = make_train_step(cfg, model, tx)
+    rep = replicated(mesh)
+    bat = batch_sharding(mesh)
+    return jax.jit(
+        base.__wrapped__,  # unwrap the inner fn; re-jit with shardings
+        in_shardings=(rep, bat, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,))
+
+
+def make_sharded_eval_step(cfg: Config, model, mesh: Mesh, num_iter=None):
+    base = make_eval_step(cfg, model, num_iter)
+    rep = replicated(mesh)
+    bat = batch_sharding(mesh)
+    return jax.jit(
+        base.__wrapped__,
+        in_shardings=(rep, bat),
+        out_shardings=None)

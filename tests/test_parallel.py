@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed runtime (SURVEY.md §2.5); these tests
+validate the all-new scale-out layer: DP-sharded train steps and the
+ref-cloud-sharded correspondence search.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsir_tpu.config import Config, ModelConfig, replace
+from deepsir_tpu.ops.distance import nearest_neighbour_index
+from deepsir_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                  ring_nearest_neighbour_index,
+                                  shard_batch,
+                                  sharded_nearest_neighbour_index)
+from deepsir_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from deepsir_tpu.training import create_train_state, make_optimizer
+
+
+def tiny_cfg(batch_size=8):
+    model = ModelConfig(feat_len=3, num_points=256, num_knn=8,
+                        sub_sampling_ratio=(4, 4), d_out=(8, 16),
+                        out_feat_dim=16, num_classes=5,
+                        num_train_reg_iter=1)
+    cfg = Config(pipeline="align", model=model)
+    cfg = replace(cfg, train=replace(cfg.train, batch_size=batch_size),
+                  data=replace(cfg.data, max_matches=64))
+    return cfg.resolved()
+
+
+def synthetic_arrays(cfg, batch):
+    rng = np.random.default_rng(0)
+    n = cfg.model.num_points
+    src = rng.normal(size=(batch, n, 3)).astype(np.float32)
+    ref = rng.normal(size=(batch, n, 3)).astype(np.float32)
+    gt = np.tile(np.eye(3, 4, dtype=np.float32), (batch, 1, 1))
+    matches = np.tile(np.arange(64, dtype=np.int32)[None, :, None], (batch, 1, 2))
+    return {"points_src": src, "points_ref": ref, "transform_gt": gt,
+            "matches": matches,
+            "num_matches": np.full((batch,), 64, np.int32)}
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8 and mesh.shape[MODEL_AXIS] == 1
+    mesh = make_mesh(num_model=2)
+    assert mesh.shape[DATA_AXIS] == 4 and mesh.shape[MODEL_AXIS] == 2
+
+
+def test_sharded_matching_equals_single_device(rng):
+    mesh = make_mesh(num_data=1, num_model=8)
+    src = jnp.asarray(rng.normal(size=(96, 16)), jnp.float32)
+    ref = jnp.asarray(rng.normal(size=(128, 16)), jnp.float32)
+    want = nearest_neighbour_index(src, ref, chunk=32)
+    got_gather = sharded_nearest_neighbour_index(src, ref, mesh, chunk=32)
+    got_ring = ring_nearest_neighbour_index(src, ref, mesh, chunk=32)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got_gather))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got_ring))
+
+
+def test_sharded_train_step_runs_and_matches_single_device():
+    cfg = tiny_cfg(batch_size=8)
+    arrays = synthetic_arrays(cfg, 8)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    tx = make_optimizer(cfg, state.params, 10)
+
+    mesh = make_mesh()  # 8-way DP
+    step = make_sharded_train_step(cfg, model, tx, mesh)
+    sharded = shard_batch(mesh, arrays)
+    state2, aux = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state2.step) == 1
+
+    # the DP step must agree with the single-device step on the same batch
+    from deepsir_tpu.training import make_train_step
+    _, state_a = create_train_state(cfg, arrays, steps_per_epoch=10)
+    base = make_train_step(cfg, model, tx)
+    state_b, aux_b = base(state_a, arrays, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(aux["loss"]), float(aux_b["loss"]),
+                               rtol=1e-5)
