@@ -1,0 +1,102 @@
+"""Benchmark: registration pairs/sec on the flagship align pipeline.
+
+Protocol mirrors the reference eval driver (/root/reference/test.py:56,384:
+batch 1, 18000 points, 5 registration iterations, inference mode), measured
+end-to-end INCLUDING the on-device KNN index-pyramid build (which the
+reference does on the host, untimed, in its collate_fn). Also probes a
+vmapped multi-pair batch — the TPU design's throughput mode — and reports
+the best pairs/sec.
+
+Baseline: the reference's pure-model forward measured on this machine by
+scripts/measure_reference_baseline.py -> BASELINE_measured.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+N_POINTS = 18000
+N_ITERS = 5
+BATCHES = (1, 4)
+TIMED_REPS = 3
+
+
+def main():
+    import jax
+
+    from deepsir_tpu.config import Config, ModelConfig, replace
+    from deepsir_tpu.models import ForwardOptions, Network
+    from deepsir_tpu.training import device_batch
+
+    model_cfg = ModelConfig(feat_len=4, num_points=N_POINTS,
+                            num_reg_iter=N_ITERS)
+    cfg = Config(pipeline="align", model=model_cfg)
+
+    model = Network(cfg.model, pipeline="align")
+    opts = ForwardOptions(num_iter=N_ITERS, clip_weight=True)
+
+    rng = np.random.default_rng(0)
+
+    def make_arrays(batch):
+        xyz = rng.normal(size=(batch, N_POINTS, 3)).astype(np.float32) * 10.0
+        extra = rng.uniform(size=(batch, N_POINTS, 1)).astype(np.float32)
+        pts = np.concatenate([xyz, extra], axis=-1)
+        xyz2 = rng.normal(size=(batch, N_POINTS, 3)).astype(np.float32) * 10.0
+        pts2 = np.concatenate(
+            [xyz2, rng.uniform(size=(batch, N_POINTS, 1)).astype(np.float32)],
+            axis=-1)
+        return {"points_src": pts, "points_ref": pts2,
+                "transform_gt": np.tile(np.eye(3, 4, dtype=np.float32),
+                                        (batch, 1, 1))}
+
+    arrays1 = make_arrays(1)
+    params = model.init(jax.random.PRNGKey(0),
+                        device_batch(cfg, arrays1), opts)
+
+    @jax.jit
+    def fwd(params, arrays):
+        batch = device_batch(cfg, arrays)
+        transforms, out = model.apply(params, batch, opts, train=False)
+        return transforms[-1], out.invalid
+
+    best = 0.0
+    best_batch = 1
+    for batch in BATCHES:
+        arrays = {k: jax.device_put(v) for k, v in make_arrays(batch).items()}
+        try:
+            out = fwd(params, arrays)           # compile + warm up
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(TIMED_REPS):
+                out = fwd(params, arrays)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / TIMED_REPS
+        except Exception:
+            break                               # e.g. HBM OOM at this batch
+        pps = batch / dt
+        if pps > best:
+            best, best_batch = pps, batch
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_measured.json")
+    ref_pps = 0.0479                            # measured 2026-08-16, torch CPU
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref_pps = json.load(f)["pairs_per_sec"]
+
+    print(json.dumps({
+        "metric": f"align_pairs_per_sec_{N_POINTS}pts_{N_ITERS}iters"
+                  f"_bs{best_batch}",
+        "value": round(best, 4),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(best / ref_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,35 @@ class Network(nn.Module):
 
     # --------------------------------------------------------------- pipelines
 
+    def backbone_pair(self, batch: PairBatch, train: bool):
+        """One backbone pass over src and ref stacked along the batch dim.
+
+        Halves the compiled graph vs two separate passes and doubles the
+        effective matmul batch on the MXU (all-new; the reference runs two
+        sequential passes, model.py:632-635).
+        """
+        b = batch.points_src.shape[0]
+        pts = jnp.concatenate([batch.points_src, batch.points_ref], axis=0)
+        pyr = jax.tree_util.tree_map(
+            lambda a, c: jnp.concatenate([a, c], axis=0),
+            batch.pyramid_src, batch.pyramid_ref)
+        feat, logits = self.backbone(pts, pyr, train)
+        return (feat[:b], logits[:b], feat[b:], logits[b:],
+                pts[..., :3], pyr)
+
+    def score_pair(self, batch: PairBatch, feat_src, feat_ref,
+                   logits_src, logits_ref):
+        """Keypoint scoring for both clouds in one stacked call."""
+        b = batch.points_src.shape[0]
+        feat = jnp.concatenate([feat_src, feat_ref], axis=0)
+        logits = jnp.concatenate([logits_src, logits_ref], axis=0)
+        xyz = jnp.concatenate([batch.points_src[..., :3],
+                               batch.points_ref[..., :3]], axis=0)
+        neigh = jnp.concatenate([batch.pyramid_src.neigh_idx[0],
+                                 batch.pyramid_ref.neigh_idx[0]], axis=0)
+        score = score_points(feat, xyz, logits, neigh)
+        return score[:b], score[b:]
+
     def forward_pair(self, batch: PairBatch, train: bool = False,
                      with_scores: bool = None) -> PairOutput:
         """Feature extraction over both clouds (+ scoring for feat/align).
@@ -133,17 +162,15 @@ class Network(nn.Module):
         if with_scores is None:
             with_scores = self.pipeline != "label"
 
-        feat_src, logits_src = self.backbone(batch.points_src, batch.pyramid_src, train)
-        feat_ref, logits_ref = self.backbone(batch.points_ref, batch.pyramid_ref, train)
+        feat_src, logits_src, feat_ref, logits_ref, _, _ = \
+            self.backbone_pair(batch, train)
         xyz_src = batch.points_src[..., :3]
         xyz_ref = batch.points_ref[..., :3]
 
         score_src = score_ref = None
         if with_scores:
-            score_src = score_points(feat_src, xyz_src, logits_src,
-                                     batch.pyramid_src.neigh_idx[0])
-            score_ref = score_points(feat_ref, xyz_ref, logits_ref,
-                                     batch.pyramid_ref.neigh_idx[0])
+            score_src, score_ref = self.score_pair(
+                batch, feat_src, feat_ref, logits_src, logits_ref)
 
             if self.pipeline == "feat":
                 # descriptor head: aggregate + normalize (model.py:650-654)
@@ -173,30 +200,29 @@ class Network(nn.Module):
         compose. Returns (transforms (iters, B, 3, 4), AlignOutput).
         """
         cfg = self.cfg
-        feat_src0, logits_src = self.backbone(batch.points_src, batch.pyramid_src, train=False)
-        feat_ref0, logits_ref = self.backbone(batch.points_ref, batch.pyramid_ref, train=False)
+        feat_src0, logits_src, feat_ref0, logits_ref, _, _ = \
+            self.backbone_pair(batch, train=False)
         xyz_src0 = batch.points_src[..., :3]
         xyz_ref = batch.points_ref[..., :3]
 
-        score_src = score_points(feat_src0, xyz_src0, logits_src,
-                                 batch.pyramid_src.neigh_idx[0])
-        score_ref = score_points(feat_ref0, xyz_ref, logits_ref,
-                                 batch.pyramid_ref.neigh_idx[0])
+        score_src, score_ref = self.score_pair(
+            batch, feat_src0, feat_ref0, logits_src, logits_ref)
 
-        xyz_src = xyz_src0
-        transforms, logits_iters, idx_iters = [], [], []
-        invalid = jnp.zeros(xyz_src.shape[:-2], dtype=bool)
-        for it in range(opts.num_iter):
-            fs, fr = self.aggregation(xyz_src, xyz_ref, feat_src0, feat_ref0,
-                                      score_src, score_ref)
+        # every registration iteration runs the same subgraph with the same
+        # weights, so it compiles ONCE as an nn.scan body (the reference
+        # unrolls a python loop, model.py:551-601)
+        def iter_body(mdl, carry, _):
+            xyz_src, cum, invalid = carry
+            fs, fr = mdl.aggregation(xyz_src, xyz_ref, feat_src0, feat_ref0,
+                                     score_src, score_ref)
             # correspondence search — integer output, no gradient flows
             idx = nearest_neighbour_index(fs, fr)                 # (B, N)
             xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
 
             # learned inlier confidence over concatenated pair coordinates
             pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
-            _, inlier_logit = self.inlier_model(pair_feats, batch.pyramid_src,
-                                                train=train)
+            _, inlier_logit = mdl.inlier_model(pair_feats, batch.pyramid_src,
+                                               train=train)
             inlier_logit = inlier_logit[..., 0]                   # (B, N)
             weights = jax.nn.sigmoid(inlier_logit)
             if opts.clip_weight and cfg.clip_weight_thresh > 0:
@@ -204,21 +230,26 @@ class Network(nn.Module):
                                     0.0, weights)
 
             r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
-            invalid = invalid | bad
 
             # move the source by the (gradient-detached) increment
             xyz_src = se3.transform(jax.lax.stop_gradient(r_t), xyz_src)
+            cum = se3.concatenate(r_t, cum)
+            return (xyz_src, cum, invalid | bad), (cum, inlier_logit, idx)
 
-            transforms.append(r_t if it == 0
-                              else se3.concatenate(r_t, transforms[-1]))
-            logits_iters.append(inlier_logit)
-            idx_iters.append(idx)
+        b = xyz_src0.shape[:-2]
+        identity = jnp.broadcast_to(jnp.eye(3, 4, dtype=xyz_src0.dtype),
+                                    b + (3, 4))
+        scan = nn.scan(iter_body,
+                       variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       length=opts.num_iter)
+        (_, _, invalid), (transforms, logits_iters, idx_iters) = scan(
+            self, (xyz_src0, identity, jnp.zeros(b, dtype=bool)), None)
 
-        transforms = jnp.stack(transforms, axis=0)                # (iters, B, 3, 4)
         out = AlignOutput(
-            transforms=transforms,
-            inlier_logits=jnp.stack(logits_iters, axis=0),
-            pred_idx=jnp.stack(idx_iters, axis=0),
+            transforms=transforms,                    # (iters, B, 3, 4)
+            inlier_logits=logits_iters,
+            pred_idx=idx_iters,
             invalid=invalid,
             pt_src=xyz_src0, pt_ref=xyz_ref,
             score_src=score_src, score_ref=score_ref)

@@ -81,7 +81,10 @@ def create_train_state(cfg: Config, example_batch: Dict[str, np.ndarray],
     model = Network(cfg.model, pipeline=cfg.pipeline)
     batch = device_batch(cfg, example_batch)
     opts = ForwardOptions(num_iter=cfg.model.num_train_reg_iter)
-    params = model.init(jax.random.PRNGKey(seed), batch, opts)
+    # jit with opts closed over (it carries static python bools); one compiled
+    # init program instead of op-by-op dispatch
+    init_fn = jax.jit(lambda rng, b: model.init(rng, b, opts))
+    params = init_fn(jax.random.PRNGKey(seed), batch)
     tx = make_optimizer(cfg, params, steps_per_epoch)
     opt_state = tx.init(params)
     return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32))

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Training driver — same CLI surface as the reference's train.py
+(/root/reference/train.py): flag parse, logger + run dir, dataset/loader
+build, model/optimizer build, checkpoint resume (full or staged partial),
+epoch loop with per-pipeline loss dispatch, NaN-step skipping, periodic
+tensorboard summaries, periodic validation with best-checkpoint scoring.
+
+TPU-native core: the whole step (pyramid build -> forwards -> loss -> grads
+-> update) is one jitted XLA program (deepsir_tpu/training.py); this file is
+only the host-side loop around it.
+
+Usage mirrors the reference, e.g.:
+  python train.py --pipeline label --dataset_type KITTI --dataset_path ...
+  python train.py --pipeline align --dataset_type Synthetic --dev
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from deepsir_tpu.config import config_from_args, train_argument_parser
+from deepsir_tpu.data.base import Loader
+from deepsir_tpu.data.datasets import get_train_datasets
+from deepsir_tpu.evaluation import evaluate_align
+from deepsir_tpu.losses.semantic import SemanticMetric, confusion_matrix
+from deepsir_tpu.training import (batch_arrays_only, create_train_state,
+                                  make_eval_step, make_forward_step,
+                                  make_lr_schedule, make_optimizer,
+                                  make_train_step)
+from deepsir_tpu.utils.checkpoint import CheckPointManager, partial_restore
+from deepsir_tpu.utils.logging import prepare_logger
+from deepsir_tpu.utils.metrics import compute_metrics, summarize_metrics
+from deepsir_tpu.utils.timer import Timer
+
+
+def validate(cfg, model, state, val_loader, logger):
+    """Validation sweep -> checkpoint score (reference validate_align/feat/
+    label, train.py:113-219; align score = success rate)."""
+    if cfg.pipeline == "align":
+        eval_step = make_eval_step(cfg, model)
+        metrics = []
+        for batch in val_loader:
+            arrays = batch_arrays_only(batch)
+            transforms, _ = eval_step(state.params, arrays)
+            m = compute_metrics(arrays["transform_gt"],
+                                np.asarray(transforms[-1]),
+                                arrays["points_src"], arrays["points_ref"],
+                                cfg.train.rte_thresh, cfg.train.rre_thresh)
+            metrics.append(m)
+        merged = {k: np.concatenate([m[k] for m in metrics])
+                  for k in metrics[0]}
+        summary = summarize_metrics(merged)
+        logger.info("Validation: succ %.3f | err_r %.3f deg | err_t %.3g",
+                    summary["succ"], summary["err_r_deg_mean"],
+                    summary["err_t_mean"])
+        return summary["succ"]
+
+    fwd = make_forward_step(cfg, model)
+    if cfg.pipeline == "label":
+        metric = SemanticMetric()
+        for batch in val_loader:
+            arrays = batch_arrays_only(batch)
+            out = fwd(state.params, arrays)
+            metric.update(confusion_matrix(out.logits_src,
+                                           arrays["labels_src"]))
+            metric.update(confusion_matrix(out.logits_ref,
+                                           arrays["labels_ref"]))
+        miou, _, acc = metric.compute()
+        logger.info("Validation: mIoU %.3f | acc %.3f", miou, acc)
+        return miou
+
+    # feat: negative mean loss as the score
+    from deepsir_tpu.losses import det_des_loss
+    losses = []
+    for batch in val_loader:
+        arrays = batch_arrays_only(batch)
+        out = fwd(state.params, arrays)
+        loss, _ = det_des_loss(out.feat_src, out.feat_ref, out.xyz_src,
+                               out.xyz_ref, out.score_src, out.score_ref,
+                               arrays["transform_gt"], cfg.loss)
+        losses.append(float(loss))
+    mean_loss = float(np.mean(losses))
+    logger.info("Validation: feat loss %.5f", mean_loss)
+    return -mean_loss
+
+
+def main():
+    args = train_argument_parser().parse_args()
+    cfg = config_from_args(args)
+    logger, log_path = prepare_logger(cfg)
+
+    from tensorboardX import SummaryWriter
+    train_writer = SummaryWriter(os.path.join(log_path, "train"))
+
+    train_set, val_set = get_train_datasets(cfg)
+    train_loader = Loader(train_set, cfg.train.batch_size, shuffle=True,
+                          seed=cfg.train.seed,
+                          num_workers=cfg.data.num_workers)
+    val_loader = Loader(val_set, cfg.train.batch_size, shuffle=False,
+                        num_workers=cfg.data.num_workers)
+    logger.info("Train set: %d samples, val set: %d", len(train_set),
+                len(val_set))
+
+    steps_per_epoch = max(1, len(train_loader))
+    example = batch_arrays_only(next(iter(train_loader)))
+    model, state = create_train_state(cfg, example, steps_per_epoch,
+                                      seed=cfg.train.seed)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info("Model built: %d parameters (pipeline=%s)", n_params,
+                cfg.pipeline)
+
+    saver = CheckPointManager(os.path.join(log_path, "ckpt"),
+                              keep_checkpoint_every_n_hours=1.0)
+    step0 = 0
+    if cfg.train.resume:
+        if cfg.train.load_model_all:
+            state, step0 = saver.load(cfg.train.resume, state)
+        else:
+            # staged partial restore (reference train.py:347-360): load the
+            # parameter leaves that match by path+shape, keep the rest fresh
+            params, loaded = partial_restore(cfg.train.resume, state.params)
+            state = state._replace(params=params)
+            logger.info("Partial restore: %d parameter arrays loaded", loaded)
+
+    tx = make_optimizer(cfg, state.params, steps_per_epoch)
+    train_step = make_train_step(cfg, model, tx)
+    lr_sched = make_lr_schedule(cfg, steps_per_epoch)
+
+    validate_every = cfg.train.validate_every
+    if validate_every < 0:                       # negative = epochs
+        validate_every = -validate_every * steps_per_epoch
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    timer = Timer()
+    step = step0
+    skipped = 0
+    for epoch in range(cfg.train.max_epochs):
+        for batch in train_loader:
+            arrays = batch_arrays_only(batch)
+            rng, sub = jax.random.split(rng)
+            timer.tic()
+            state, aux = train_step(state, arrays, sub)
+            loss = float(aux["loss"])
+            timer.toc()
+            step += 1
+            skipped += int(aux["skipped"])
+
+            if step % 100 == 0:
+                logger.info(
+                    "epoch %d step %d | loss %.5f | %.2fs/step | lr %.2e"
+                    " | skipped %d", epoch, step, loss, timer.avg,
+                    float(lr_sched(step)), skipped)
+            if step % cfg.train.summary_every == 0:
+                train_writer.add_scalar("loss", loss, step)
+                train_writer.add_scalar("lr", float(lr_sched(step)), step)
+                for k, v in aux.items():
+                    if k not in ("loss",) and np.ndim(v) == 0:
+                        train_writer.add_scalar(k, float(v), step)
+            if step % validate_every == 0:
+                score = validate(cfg, model, state, val_loader, logger)
+                train_writer.add_scalar("val_score", score, step)
+                saver.save(state, step, score=score)
+        logger.info("Epoch %d done (step %d)", epoch, step)
+
+    saver.save(state, step, score=-np.inf)
+    logger.info("Training complete at step %d", step)
+
+
+if __name__ == "__main__":
+    main()
