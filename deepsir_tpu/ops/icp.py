@@ -43,7 +43,15 @@ def _kabsch_np(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
 def icp_np(src: np.ndarray, tgt: np.ndarray, max_corr_dist: float,
            init: np.ndarray | None = None, max_iter: int = 200,
            tol: float = 1e-7) -> np.ndarray:
-    """Point-to-point ICP on the host. Returns a 4x4 transform src -> tgt."""
+    """Point-to-point ICP on the host. Returns a 4x4 transform src -> tgt.
+
+    Dispatches to the C++ kd-tree implementation (deepsir_tpu/native) when
+    built; scipy otherwise.
+    """
+    from deepsir_tpu import native
+    if native.available():
+        return native.icp_point2point(src, tgt, max_corr_dist, init=init,
+                                      max_iter=max_iter, tol=tol)
     transform = np.eye(4) if init is None else se3_np.to_4x4(np.asarray(init, dtype=np.float64))
     tree = cKDTree(tgt[:, :3])
     prev_rmse = np.inf

@@ -23,7 +23,15 @@ def radius_matches_np(source_xyz: np.ndarray, target_xyz: np.ndarray,
     get_matching_indices: the source cloud is transformed by `trans`, then for
     every source point every target point within `radius` is emitted
     (optionally capped at max_per_point per source point).
+
+    Dispatches to the C++ grid-hash implementation (deepsir_tpu/native) when
+    built; scipy cKDTree otherwise.
     """
+    if max_per_point is None:
+        from deepsir_tpu import native
+        if native.available():
+            return native.radius_matches(source_xyz[:, :3], target_xyz[:, :3],
+                                         trans, radius)
     src_t = se3_np.transform(trans, source_xyz[:, :3])
     tree = cKDTree(target_xyz[:, :3])
     neighbours = tree.query_ball_point(src_t, r=radius)

@@ -29,6 +29,9 @@ def voxel_downsample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """
     if len(points) == 0:
         return points
+    from deepsir_tpu import native
+    if native.available():
+        return native.voxel_downsample(points, voxel_size).astype(points.dtype)
     coords = np.floor(points[:, :3] / voxel_size).astype(np.int64)
     # lexicographic voxel key
     coords -= coords.min(axis=0)
