@@ -28,6 +28,12 @@ TIMED_REPS = 3
 
 def main():
     import jax
+    # persistent cache: the first driver run pays the ~30s-per-config remote
+    # compile; later runs start hot
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from deepsir_tpu.config import Config, ModelConfig, replace
     from deepsir_tpu.models import ForwardOptions, Network

@@ -20,16 +20,20 @@ from deepsir_tpu.math import rand, se3_np
 def make_structured_cloud(rng: np.random.Generator, num_points: int,
                           num_clusters: int = 40, extent: float = 10.0
                           ) -> np.ndarray:
-    """Mixture-of-clusters cloud (N, 3) with distinctive local structure."""
+    """Mixture-of-clusters cloud (N, 4): xyz + a per-cluster pseudo-label
+    in 1..19 (SemanticKITTI learning-map id range), so the label/feat
+    pipelines can be driven end-to-end without any dataset on disk."""
     centers = rng.uniform(-extent, extent, size=(num_clusters, 3))
     scales = rng.uniform(0.1, 1.0, size=(num_clusters, 1))
     assign = rng.integers(0, num_clusters, size=num_points)
     pts = centers[assign] + rng.normal(size=(num_points, 3)) * scales[assign]
-    return pts.astype(np.float32)
+    labels = (assign % 19) + 1
+    return np.concatenate([pts, labels[:, None]], axis=1).astype(np.float32)
 
 
 class SyntheticPairs(PairDataset):
     """Pairs of the same synthetic cloud related by a random rigid motion."""
+    has_labels = True
 
     def __init__(self, cfg: Config, split: str = "train", size: int = 64,
                  noise: float = 0.01, p_keep: float = 1.0):
@@ -37,6 +41,7 @@ class SyntheticPairs(PairDataset):
         self.size = size
         self.noise = noise
         self.p_keep = p_keep
+        self.label_column = self.feat_len
         if split == "test":
             self.random_rotation = False
             self.random_jitter = False
@@ -47,24 +52,29 @@ class SyntheticPairs(PairDataset):
     def get_pair(self, idx: int):
         rng = np.random.default_rng((977, idx))
         n = max(self.num_points, 2048)
-        cloud = make_structured_cloud(rng, n)
+        cloud = make_structured_cloud(rng, n)          # (N, 4) xyz + label
         gt = rand.random_se3_euler(rng, self.cfg.data.rot_mag,
                                    self.cfg.data.trans_mag,
                                    self.cfg.data.xy_rot_scale)
-        ref = se3_np.transform(gt, cloud)
+        ref = np.concatenate([se3_np.transform(gt, cloud[:, :3]),
+                              cloud[:, 3:]], axis=1)
         src = cloud.copy()
         if self.p_keep < 1.0:
             src = halfspace_crop(rng, src, self.p_keep)
             ref = halfspace_crop(rng, ref, self.p_keep)
         if self.noise > 0:
-            src = src + rng.normal(scale=self.noise, size=src.shape).astype(np.float32)
-            ref = ref + rng.normal(scale=self.noise, size=ref.shape).astype(np.float32)
+            src[:, :3] += rng.normal(scale=self.noise,
+                                     size=(len(src), 3)).astype(np.float32)
+            ref[:, :3] += rng.normal(scale=self.noise,
+                                     size=(len(ref), 3)).astype(np.float32)
         src = src[rng.permutation(len(src))]
         ref = ref[rng.permutation(len(ref))]
-        if self.feat_len > 3:
-            src = np.concatenate([src, np.zeros((len(src), self.feat_len - 3),
-                                                np.float32)], axis=1)
-            ref = np.concatenate([ref, np.zeros((len(ref), self.feat_len - 3),
-                                                np.float32)], axis=1)
+
+        # columns: xyz, zero-padding up to feat_len, label last
+        def layout(c):
+            pad = np.zeros((len(c), max(self.feat_len - 3, 0)), np.float32)
+            return np.concatenate([c[:, :3], pad, c[:, 3:]], axis=1)
+
         meta = {"seq": 0, "id_src": idx, "id_ref": idx}
-        return src.astype(np.float32), ref.astype(np.float32), gt, meta
+        return (layout(src).astype(np.float32),
+                layout(ref).astype(np.float32), gt, meta)
