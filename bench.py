@@ -22,7 +22,8 @@ import numpy as np
 
 N_POINTS = 18000
 N_ITERS = 5
-BATCHES = (1, 4)
+BATCHES = (1,)        # reference protocol; remote-compile latency makes
+                      # multi-config sweeps too slow for the driver window
 TIMED_REPS = 3
 
 

@@ -14,12 +14,16 @@ GroupNorm variant with this exact group scheme (RandLANet.py:23-27,46-50).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 LEAKY_SLOPE = 0.2
+
+# Mixed-precision policy: Dense matmuls run in the configured compute dtype
+# (bfloat16 on TPU -> 2x MXU throughput); GroupNorm statistics and
+# activations stay float32; parameters are always float32.
 
 
 def _num_groups(channels: int) -> int:
@@ -37,13 +41,17 @@ class ConvUnit(nn.Module):
     use_norm: bool = True
     use_act: bool = True
     use_bias: bool = True
+    dtype: Any = None                 # compute dtype for the matmul
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.features, use_bias=self.use_bias,
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      kernel_init=nn.initializers.he_normal())(x)
         if self.use_norm:
-            x = nn.GroupNorm(num_groups=_num_groups(self.features))(x)
+            x = nn.GroupNorm(num_groups=_num_groups(self.features),
+                             dtype=jnp.float32)(x)
+        elif self.dtype is not None:
+            x = x.astype(jnp.float32)
         if self.use_act:
             x = leaky_relu(x)
         return x
@@ -57,6 +65,7 @@ class MLP(nn.Module):
     channels: Sequence[int]
     full: bool = False
     use_norm: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +73,7 @@ class MLP(nn.Module):
         for i, ch in enumerate(self.channels):
             last = (i == n - 1) and not self.full
             x = ConvUnit(ch, use_norm=self.use_norm and not last,
-                         use_act=not last)(x)
+                         use_act=not last, dtype=self.dtype)(x)
         return x
 
 
@@ -74,11 +83,13 @@ class AttPooling(nn.Module):
     x: (..., N, K, C_in) -> (..., N, C_out)
     """
     d_out: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature_set: jnp.ndarray) -> jnp.ndarray:
         scores = nn.Dense(feature_set.shape[-1], use_bias=False,
+                          dtype=self.dtype,
                           kernel_init=nn.initializers.he_normal())(feature_set)
-        att = nn.softmax(scores, axis=-2)                  # over neighbours
+        att = nn.softmax(scores.astype(jnp.float32), axis=-2)  # over neighbours
         agg = jnp.sum(feature_set * att, axis=-2)          # (..., N, C_in)
-        return ConvUnit(self.d_out)(agg)
+        return ConvUnit(self.d_out, dtype=self.dtype)(agg)

@@ -87,10 +87,12 @@ class Network(nn.Module):
 
         if self.pipeline != "label":
             c = cfg.out_feat_dim
+            dtype = jnp.dtype(cfg.compute_dtype)
+            dtype = None if dtype == jnp.float32 else dtype
             # aggregation MLPs (reference model.py:158-170)
-            self.mlp_feat = MLP((c, 128, c))
-            self.mlp_att = MLP((32, 64, 128, 256, c))
-            self.mlp_proj = MLP((c,))
+            self.mlp_feat = MLP((c, 128, c), dtype=dtype)
+            self.mlp_att = MLP((32, 64, 128, 256, c), dtype=dtype)
+            self.mlp_proj = MLP((c,), dtype=dtype)
 
         if self.pipeline == "align":
             # second RandLA over [src_xyz ; matched_ref_xyz] -> 1 logit/point
@@ -115,8 +117,8 @@ class Network(nn.Module):
         fr = self.mlp_feat(feat_ref)
         gs = self.mlp_att(jnp.concatenate([xyz_src, score_src[..., None]], axis=-1))
         gr = self.mlp_att(jnp.concatenate([xyz_ref, score_ref[..., None]], axis=-1))
-        fs = self.mlp_proj(fs + gs)
-        fr = self.mlp_proj(fr + gr)
+        fs = self.mlp_proj(fs + gs).astype(jnp.float32)
+        fr = self.mlp_proj(fr + gr).astype(jnp.float32)
         fs = fs / (jnp.linalg.norm(fs, axis=-1, keepdims=True) + 1e-12)
         fr = fr / (jnp.linalg.norm(fr, axis=-1, keepdims=True) + 1e-12)
         return fs, fr

@@ -16,7 +16,7 @@ Differences from the reference (deliberate, TPU-first):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -71,33 +71,40 @@ class BuildingBlock(nn.Module):
     (reference Building_block, RandLANet.py:160-195)
     """
     d_out: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, feature, neigh_idx):
         """xyz (..., N, 3); feature (..., N, C=d_out//2); neigh (..., N, K)."""
         f_xyz = relative_pos_encoding(xyz, neigh_idx)          # (..., N, K, 10)
 
-        f_xyz = ConvUnit(self.d_out // 2, name="mlp1")(f_xyz)
+        f_xyz = ConvUnit(self.d_out // 2, name="mlp1", dtype=self.dtype)(f_xyz)
         f_neigh = gather_neighbour(feature, neigh_idx)         # (..., N, K, C)
         f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)  # (..., N, K, d_out)
-        f_agg = AttPooling(self.d_out // 2, name="att_pooling_1")(f_concat)
+        f_agg = AttPooling(self.d_out // 2, name="att_pooling_1",
+                           dtype=self.dtype)(f_concat)
 
-        f_xyz = ConvUnit(self.d_out // 2, name="mlp2")(f_xyz)
+        f_xyz = ConvUnit(self.d_out // 2, name="mlp2", dtype=self.dtype)(f_xyz)
         f_neigh = gather_neighbour(f_agg, neigh_idx)
         f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
-        return AttPooling(self.d_out, name="att_pooling_2")(f_concat)
+        return AttPooling(self.d_out, name="att_pooling_2",
+                          dtype=self.dtype)(f_concat)
 
 
 class DilatedResBlock(nn.Module):
     """Dilated residual block (reference Dilated_res_block, RandLANet.py:215-230)."""
     d_out: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature, xyz, neigh_idx):
-        f_pc = ConvUnit(self.d_out // 2, name="mlp1")(feature)
-        f_pc = BuildingBlock(self.d_out, name="lfa")(xyz, f_pc, neigh_idx)
-        f_pc = ConvUnit(self.d_out * 2, use_act=False, name="mlp2")(f_pc)
-        shortcut = ConvUnit(self.d_out * 2, use_act=False, name="mlp_skip")(feature)
+        f_pc = ConvUnit(self.d_out // 2, name="mlp1", dtype=self.dtype)(feature)
+        f_pc = BuildingBlock(self.d_out, name="lfa", dtype=self.dtype)(
+            xyz, f_pc, neigh_idx)
+        f_pc = ConvUnit(self.d_out * 2, use_act=False, name="mlp2",
+                        dtype=self.dtype)(f_pc)
+        shortcut = ConvUnit(self.d_out * 2, use_act=False, name="mlp_skip",
+                            dtype=self.dtype)(feature)
         return leaky_relu(f_pc + shortcut)
 
 
@@ -116,25 +123,28 @@ class RandLA(nn.Module):
         cfg = self.cfg
         num_layers = cfg.num_layers
         d_mid = cfg.d_out
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if dtype == jnp.float32:
+            dtype = None                  # pure fp32 path, no casts
 
         if cfg.use_ppf:
             # features must carry xyz + normals in the first 6 channels
             grouped = ppf_grouping(features[..., :3], features[..., 3:6],
                                    pyr.neigh_idx[0])           # (..., N, K, 10)
-            x = ConvUnit(12, name="mlp_pre")(grouped)
+            x = ConvUnit(12, name="mlp_pre", dtype=dtype)(grouped)
             x = jnp.mean(x, axis=-2)                           # (..., N, 12)
         else:
-            x = ConvUnit(8, name="mlp_pre")(features)          # (..., N, 8)
+            x = ConvUnit(8, name="mlp_pre", dtype=dtype)(features)  # (..., N, 8)
 
         # ---------------- encoder ----------------
         skips = []
         for i in range(num_layers):
-            x = DilatedResBlock(d_mid[i], name=f"enc_{i}")(
+            x = DilatedResBlock(d_mid[i], name=f"enc_{i}", dtype=dtype)(
                 x, pyr.xyz[i], pyr.neigh_idx[i])               # (..., Nl, 2*d)
             skips.append(x)
             x = max_pool_neighbours(x, pyr.pool_idx[i])        # (..., N{l+1}, 2*d)
 
-        x = ConvUnit(x.shape[-1], name="mlp_mid")(x)
+        x = ConvUnit(x.shape[-1], name="mlp_mid", dtype=dtype)(x)
 
         # ---------------- decoder ----------------
         for j in range(num_layers):
@@ -142,13 +152,15 @@ class RandLA(nn.Module):
             up = nearest_interpolate(x, pyr.interp_idx[lvl])   # (..., Nl, C)
             cat = jnp.concatenate([skips[lvl], up], axis=-1)
             d_out = 2 * d_mid[max(lvl - 1, 0)]
-            x = ConvUnit(d_out, name=f"dec_{j}")(cat)
+            x = ConvUnit(d_out, name=f"dec_{j}", dtype=dtype)(cat)
 
-        feat = nn.Dense(cfg.out_feat_dim, use_bias=False,
+        feat = nn.Dense(cfg.out_feat_dim, use_bias=False, dtype=dtype,
                         kernel_init=nn.initializers.he_normal(),
                         name="mlp_out")(x)                     # (..., N, C_out)
+        feat = feat.astype(jnp.float32)
 
         logits = nn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(feat)
         logits = MLP((cfg.out_feat_dim, 32, self.num_classes),
-                     name="fc_label")(logits)                  # (..., N, classes)
+                     name="fc_label", dtype=dtype)(logits)     # (..., N, classes)
+        logits = logits.astype(jnp.float32)
         return feat, logits

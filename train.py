@@ -33,15 +33,33 @@ from deepsir_tpu.training import (batch_arrays_only, create_train_state,
 from deepsir_tpu.utils.checkpoint import CheckPointManager, partial_restore
 from deepsir_tpu.utils.logging import prepare_logger
 from deepsir_tpu.utils.metrics import compute_metrics, summarize_metrics
+from deepsir_tpu.utils.profiling import enable_debug_mode, maybe_trace
 from deepsir_tpu.utils.timer import Timer
 
 
-def validate(cfg, model, state, val_loader, logger):
+def mesh_summary(writer, step, arrays, pred_transform):
+    """Dump aligned src (red) + ref (green) point meshes to tensorboard
+    (reference save_summaries / validate_align mesh dumps,
+    train.py:51-110,196-214)."""
+    from deepsir_tpu.math import se3_np
+    src = se3_np.transform(np.asarray(pred_transform)[0],
+                           arrays["points_src"][0, :, :3])
+    ref = arrays["points_ref"][0, :, :3]
+    pts = np.concatenate([src, ref])[None]
+    colors = np.concatenate([
+        np.tile([[255, 0, 0]], (len(src), 1)),
+        np.tile([[0, 255, 0]], (len(ref), 1))])[None]
+    writer.add_mesh("val_alignment", vertices=pts, colors=colors,
+                    global_step=step)
+
+
+def validate(cfg, model, state, val_loader, logger, writer=None, step=0):
     """Validation sweep -> checkpoint score (reference validate_align/feat/
     label, train.py:113-219; align score = success rate)."""
     if cfg.pipeline == "align":
         eval_step = make_eval_step(cfg, model)
         metrics = []
+        last = None
         for batch in val_loader:
             arrays = batch_arrays_only(batch)
             transforms, _ = eval_step(state.params, arrays)
@@ -50,12 +68,15 @@ def validate(cfg, model, state, val_loader, logger):
                                 arrays["points_src"], arrays["points_ref"],
                                 cfg.train.rte_thresh, cfg.train.rre_thresh)
             metrics.append(m)
+            last = (arrays, transforms[-1])
         merged = {k: np.concatenate([m[k] for m in metrics])
                   for k in metrics[0]}
         summary = summarize_metrics(merged)
         logger.info("Validation: succ %.3f | err_r %.3f deg | err_t %.3g",
                     summary["succ"], summary["err_r_deg_mean"],
                     summary["err_t_mean"])
+        if writer is not None and last is not None:
+            mesh_summary(writer, step, last[0], last[1])
         return summary["succ"]
 
     fwd = make_forward_step(cfg, model)
@@ -91,6 +112,8 @@ def main():
     args = train_argument_parser().parse_args()
     cfg = config_from_args(args)
     logger, log_path = prepare_logger(cfg)
+    if cfg.debug:
+        enable_debug_mode()
 
     from tensorboardX import SummaryWriter
     train_writer = SummaryWriter(os.path.join(log_path, "train"))
@@ -142,8 +165,9 @@ def main():
             arrays = batch_arrays_only(batch)
             rng, sub = jax.random.split(rng)
             timer.tic()
-            state, aux = train_step(state, arrays, sub)
-            loss = float(aux["loss"])
+            with maybe_trace(step):
+                state, aux = train_step(state, arrays, sub)
+                loss = float(aux["loss"])
             timer.toc()
             step += 1
             skipped += int(aux["skipped"])
@@ -160,7 +184,8 @@ def main():
                     if k not in ("loss",) and np.ndim(v) == 0:
                         train_writer.add_scalar(k, float(v), step)
             if step % validate_every == 0:
-                score = validate(cfg, model, state, val_loader, logger)
+                score = validate(cfg, model, state, val_loader, logger,
+                                 writer=train_writer, step=step)
                 train_writer.add_scalar("val_score", score, step)
                 saver.save(state, step, score=score)
         logger.info("Epoch %d done (step %d)", epoch, step)
