@@ -1,0 +1,80 @@
+"""Evaluation-harness tests: inference sweep, metric sweep, persistence,
+and the optional refinement passes (reference test.py equivalents)."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsir_tpu.config import Config, ModelConfig, replace
+from deepsir_tpu.data.base import Loader
+from deepsir_tpu.data.synthetic import SyntheticPairs
+from deepsir_tpu.evaluation import (evaluate_align, finetune_pose,
+                                    inference_align, save_eval_align)
+from deepsir_tpu.math import se3_np
+from deepsir_tpu.training import create_train_state, make_eval_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ModelConfig(feat_len=3, num_points=256, num_knn=8,
+                        sub_sampling_ratio=(4, 4), d_out=(8, 16),
+                        out_feat_dim=16, num_classes=5,
+                        num_train_reg_iter=1, num_reg_iter=2)
+    cfg = Config(pipeline="align", model=model)
+    cfg = replace(cfg, data=replace(cfg.data, max_matches=64))
+    ds = SyntheticPairs(cfg, split="test", size=3)
+    loader = Loader(ds, batch_size=1, shuffle=False, num_workers=1)
+    example = {k: v for k, v in next(iter(loader)).items()
+               if isinstance(v, np.ndarray)}
+    net, state = create_train_state(cfg, example)
+    step = make_eval_step(cfg, net)
+    return cfg, loader, net, state, step
+
+
+def test_inference_and_evaluate_and_save(setup, tmp_path):
+    cfg, loader, net, state, step = setup
+    pred, endpoints = inference_align(
+        loader, step, state.params, cfg,
+        stats_path=str(tmp_path / "stats.npz"))
+    # 2 reg iters + 1 refined-final slot
+    assert pred.shape == (3, 3, 3, 4)
+    stats = np.load(tmp_path / "stats.npz")["stats"]
+    assert stats.shape == (1, 3, 5)
+
+    metrics, summary = evaluate_align(pred, loader, cfg)
+    assert len(metrics) == 3 and "succ" in summary
+
+    save_eval_align(pred, endpoints, metrics, summary, str(tmp_path / "out"))
+    assert os.path.exists(tmp_path / "out" / "pred_transforms.npy")
+    assert os.path.exists(tmp_path / "out" / "metrics_iter_1.csv")
+    with open(tmp_path / "out" / "summary_metrics.json") as f:
+        assert "succ" in json.load(f)
+
+
+def test_finetune_pose_improves_noisy_init(rng):
+    """Adam-on-SE3 should pull a perturbed pose back toward GT when given
+    exact correspondences (reference transformation_finetune)."""
+    cloud = rng.normal(size=(500, 3)).astype(np.float32)
+    ang = 0.4
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = [[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    gt[:3, 3] = [0.3, -0.2, 0.1]
+    tgt = se3_np.transform(gt, cloud)
+
+    pang = 0.3
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, :3] = [[np.cos(pang), -np.sin(pang), 0],
+                    [np.sin(pang), np.cos(pang), 0], [0, 0, 1]]
+    noisy = (pert @ gt)[:3].astype(np.float32)
+
+    refined = finetune_pose(jnp.asarray(cloud), jnp.asarray(tgt),
+                            jnp.asarray(noisy),
+                            jnp.ones((500,), jnp.float32),
+                            quantization_size=0.6, max_iter=300)
+    err_before = np.abs(noisy - gt[:3]).max()
+    err_after = np.abs(np.asarray(refined) - gt[:3]).max()
+    assert err_after < err_before * 0.3, (err_before, err_after)
