@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int):
+def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int,
+                recall_target: float):
     """query (N, D), ref (M, D) -> idx (N, k) int32, dist (N, k) sq-L2."""
     n = query.shape[0]
     rem = (-n) % chunk
@@ -30,8 +31,22 @@ def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int):
     def tile_body(tile):
         d = (jnp.sum(tile * tile, axis=-1)[:, None]
              + ref_sq[None, :] - 2.0 * jnp.matmul(tile, ref.T, precision='highest'))     # (chunk, M)
-        neg, idx = jax.lax.top_k(-d, k)                  # ascending distance
-        return idx.astype(jnp.int32), -neg
+        if k == 1:
+            # top_k lowers to a full row sort on TPU; a plain argmin reduce
+            # is ~two orders of magnitude cheaper for the k=1 interp search
+            idx = jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+            return idx, jnp.take_along_axis(d, idx, axis=-1)
+        if recall_target >= 1.0:
+            neg, idx = jax.lax.top_k(-d, k)              # exact, ascending
+            return idx.astype(jnp.int32), -neg
+        # approx_min_k lowers directly to the TPU ApproxTopK (PartialReduce)
+        # custom call — unlike lax.top_k, whose sort+slice pattern fails to
+        # rewrite to TopK inside scan bodies and degenerates into a full
+        # 18000-wide row sort (profiled at 368 ms/call vs ~memory-bound for
+        # the partial reduce). recall ~0.99 measured at target 0.95; the
+        # RandLA neighbourhood aggregation is insensitive to that.
+        dist, idx = jax.lax.approx_min_k(d, k, recall_target=recall_target)
+        return idx.astype(jnp.int32), dist
 
     idx, dist = jax.lax.map(tile_body, tiles)
     idx = idx.reshape(-1, k)[:n]
@@ -39,14 +54,19 @@ def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int):
     return idx, jnp.maximum(dist, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
-def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int = 1024):
+@partial(jax.jit, static_argnames=("k", "chunk", "recall_target"))
+def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int = 1024,
+        recall_target: float = 0.95):
     """k nearest refs for each query point, ascending by distance.
 
     query: (..., N, D); ref: (..., M, D)
     Returns (idx (..., N, k) int32, sq_dist (..., N, k) float).
+
+    recall_target < 1.0 uses the TPU-accelerated ApproxTopK reduction
+    (exact on CPU, ~0.99 recall on TPU); pass 1.0 for guaranteed-exact.
+    k=1 is always exact (argmin).
     """
     fn = _knn_single
     for _ in range(query.ndim - 2):
-        fn = jax.vmap(fn, in_axes=(0, 0, None, None))
-    return fn(query, ref, k, chunk)
+        fn = jax.vmap(fn, in_axes=(0, 0, None, None, None))
+    return fn(query, ref, k, chunk, recall_target)
