@@ -62,8 +62,9 @@ def main():
                                         (batch, 1, 1))}
 
     arrays1 = make_arrays(1)
-    params = model.init(jax.random.PRNGKey(0),
-                        device_batch(cfg, arrays1), opts)
+    # jitted init: one compiled program instead of per-op remote dispatch
+    params = jax.jit(lambda r, a: model.init(r, device_batch(cfg, a), opts))(
+        jax.random.PRNGKey(0), arrays1)
 
     @jax.jit
     def fwd(params, arrays):
