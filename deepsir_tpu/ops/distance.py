@@ -94,7 +94,13 @@ def nearest_neighbour_index(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
     the full N x M matrix. method: 'auto' uses the fused Pallas kernel on
     TPU (ops/pallas_match.py — 2.1x faster, near-tie rounding differences),
     'xla' forces the exact highest-precision path.
+
+    Integer-output correspondence search carries no gradient (the reference
+    matches under no_grad, model.py:558); stop_gradient also keeps autodiff
+    from trying to differentiate through the Pallas kernel.
     """
+    feat_src = jax.lax.stop_gradient(feat_src)
+    feat_ref = jax.lax.stop_gradient(feat_ref)
     if method == "auto" and _on_tpu():
         from deepsir_tpu.ops import pallas_match
         if pallas_match.supported(feat_src.shape[-2], feat_ref.shape[-2],

@@ -74,3 +74,15 @@ def prepare_logger(cfg, log_path: Optional[str] = None
         logger.info("Config:\n%s", cfg_json)
     logger.info("Output and logs will be saved to: %s", log_path)
     return logger, log_path
+
+
+def snapshot_source(log_path: str, package_root: Optional[str] = None) -> None:
+    """Copy the framework source into the run dir for exact reproducibility
+    (reference train.py:494-498 copies its code into the log dir)."""
+    if package_root is None:
+        package_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(log_path, "code", os.path.basename(package_root))
+    if os.path.exists(dst):
+        return
+    shutil.copytree(package_root, dst,
+                    ignore=shutil.ignore_patterns("__pycache__", "*.so"))

@@ -114,6 +114,8 @@ def main():
     logger, log_path = prepare_logger(cfg)
     if cfg.debug:
         enable_debug_mode()
+    from deepsir_tpu.utils.logging import snapshot_source
+    snapshot_source(log_path)
 
     from tensorboardX import SummaryWriter
     train_writer = SummaryWriter(os.path.join(log_path, "train"))
