@@ -129,6 +129,12 @@ class EvalConfig:
     # per-dataset success thresholds (reference test.py:49-54)
     rte_thresh: float = 0.6
     rre_thresh: float = 5.0
+    # optional refinement passes (reference pose_optimization switches,
+    # test.py:215-216 — both off by default; RANSAC replaces the commented
+    # Open3D path test.py:259-263)
+    use_finetune: bool = False
+    use_icp: bool = False
+    use_ransac: bool = False
 
 
 @dataclass(frozen=True)
@@ -251,6 +257,9 @@ def eval_argument_parser() -> argparse.ArgumentParser:
     _add_net_arguments(p)
     p.add_argument("--transform_file", type=str, default=None)
     p.add_argument("--eval_save_path", type=str, default="./out/")
+    p.add_argument("--use_finetune", type=str2bool, default=False)
+    p.add_argument("--use_icp", type=str2bool, default=False)
+    p.add_argument("--use_ransac", type=str2bool, default=False)
     return p
 
 
@@ -292,7 +301,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         max_epochs=getattr(args, "max_epochs", 200))
     ev = EvalConfig(
         transform_file=getattr(args, "transform_file", None),
-        eval_save_path=getattr(args, "eval_save_path", "./out/"))
+        eval_save_path=getattr(args, "eval_save_path", "./out/"),
+        use_finetune=getattr(args, "use_finetune", False),
+        use_icp=getattr(args, "use_icp", False),
+        use_ransac=getattr(args, "use_ransac", False))
     return Config(pipeline=args.pipeline, model=model, data=data, loss=loss,
                   train=train, eval=ev, logdir=args.logdir, name=args.name,
                   dev=args.dev, debug=args.debug).resolved()

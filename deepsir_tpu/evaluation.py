@@ -106,8 +106,23 @@ def pose_optimization(cfg: Config, arrays: Dict[str, np.ndarray], out,
     """
     use_tune = getattr(cfg.eval, "use_finetune", False)
     use_icp = getattr(cfg.eval, "use_icp", False)
+    use_ransac = getattr(cfg.eval, "use_ransac", False)
     pose = pose_in                                      # (B, 3, 4)
     corres_dist = cfg.data.voxel_size * 2
+
+    if use_ransac:
+        # vmapped hypothesis-sampling RANSAC over the final correspondences
+        # (replaces the reference's commented Open3D RANSAC, test.py:259-263)
+        from deepsir_tpu.ops.ransac import ransac_correspondence
+        idx = out.pred_idx[-1]                           # (B, N)
+        n = idx.shape[-1]
+        corres = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), idx.shape)[..., None],
+             idx[..., None]], axis=-1)
+        pose = jax.vmap(
+            lambda s, r, c: ransac_correspondence(
+                jax.random.PRNGKey(0), s, r, c, corres_dist)[0]
+        )(out.pt_src, out.pt_ref, corres)
 
     if use_tune:
         weights = jax.nn.sigmoid(out.inlier_logits[-1])  # (B, N)

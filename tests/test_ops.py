@@ -232,3 +232,32 @@ def test_pad_matches():
     np.testing.assert_array_equal(padded[2:], -1)
     truncated, n2 = radius_match.pad_matches(m, 1)
     assert truncated.shape == (1, 2) and n2 == 1
+
+
+def test_ransac_recovers_pose_with_outliers(rng):
+    """Vmapped RANSAC (ops/ransac.py) must recover a rigid pose from
+    correspondences with 40% gross outliers."""
+    import jax
+    import jax.numpy as jnp
+    from deepsir_tpu.ops.ransac import ransac_correspondence
+
+    n = 400
+    src = rng.normal(size=(n, 3)).astype(np.float32) * 5
+    ang = 0.5
+    rot = np.array([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([1.0, -2.0, 0.5], np.float32)
+    ref = src @ rot.T + t
+
+    corres = np.stack([np.arange(n), np.arange(n)], 1).astype(np.int32)
+    # corrupt 40% of the correspondences
+    bad = rng.choice(n, size=int(0.4 * n), replace=False)
+    corres[bad, 1] = rng.integers(0, n, size=len(bad))
+
+    tr, frac = ransac_correspondence(
+        jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(ref),
+        jnp.asarray(corres), threshold=0.1, num_hypotheses=512)
+    tr = np.asarray(tr)
+    assert np.abs(tr[:, :3] - rot).max() < 1e-3
+    assert np.abs(tr[:, 3] - t).max() < 1e-3
+    assert float(frac) > 0.55
