@@ -261,3 +261,36 @@ def test_ransac_recovers_pose_with_outliers(rng):
     assert np.abs(tr[:, :3] - rot).max() < 1e-3
     assert np.abs(tr[:, 3] - t).max() < 1e-3
     assert float(frac) > 0.55
+
+
+def test_farthest_point_sample_spreads(rng):
+    from deepsir_tpu.ops.pointnet import farthest_point_sample
+    import jax.numpy as jnp
+    # two tight clusters far apart: FPS with S=2 must pick one from each
+    a = rng.normal(size=(50, 3)).astype(np.float32) * 0.1
+    b = a + np.array([100.0, 0, 0], np.float32)
+    pts = np.concatenate([a, b])
+    idx = np.asarray(farthest_point_sample(jnp.asarray(pts), 2))
+    assert (idx[0] < 50) != (idx[1] < 50)
+
+
+def test_query_ball_point_fill(rng):
+    from deepsir_tpu.ops.pointnet import query_ball_point
+    import jax.numpy as jnp
+    xyz = rng.normal(size=(1, 100, 3)).astype(np.float32)
+    centers = xyz[:, :4]
+    idx = np.asarray(query_ball_point(0.5, 8, jnp.asarray(xyz),
+                                      jnp.asarray(centers)))
+    assert idx.shape == (1, 4, 8)
+    d = np.linalg.norm(xyz[0][idx[0]] - centers[0][:, None], axis=-1)
+    assert (d < 0.5 + 1e-5).all()      # fill slots repeat an in-ball point
+
+
+def test_sample_and_group_shapes(rng):
+    from deepsir_tpu.ops.pointnet import sample_and_group
+    import jax.numpy as jnp
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(2, 128, 7)).astype(np.float32))
+    new_xyz, grouped = sample_and_group(16, 1.0, 8, xyz, feat)
+    assert new_xyz.shape == (2, 16, 3)
+    assert grouped.shape == (2, 16, 8, 10)
