@@ -106,3 +106,26 @@ def test_align_jit_compiles(rng):
     t1, _ = fwd(params, batch)
     t2, _ = fwd(params, batch)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+
+
+def test_randla_ppf_path(rng):
+    """PPF input featurization (reference feat_grouping, RandLANet.py:110-137)."""
+    import jax
+    import jax.numpy as jnp
+    from deepsir_tpu.config import ModelConfig
+    from deepsir_tpu.models.randla import RandLA
+    from deepsir_tpu.ops.pyramid import build_pyramid
+
+    cfg = ModelConfig(feat_len=6, use_ppf=True, num_points=128, num_knn=8,
+                      sub_sampling_ratio=(4, 4), d_out=(8, 16),
+                      out_feat_dim=16, num_classes=5)
+    xyz = rng.normal(size=(1, 128, 3)).astype(np.float32)
+    normals = rng.normal(size=(1, 128, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    feats = jnp.asarray(np.concatenate([xyz, normals], axis=-1))
+    pyr = build_pyramid(jnp.asarray(xyz), 8, (4, 4), chunk=64)
+    model = RandLA(cfg, num_classes=5)
+    params = model.init(jax.random.PRNGKey(0), feats, pyr)
+    feat, logits = model.apply(params, feats, pyr)
+    assert feat.shape == (1, 128, 16) and logits.shape == (1, 128, 5)
+    assert bool(jnp.all(jnp.isfinite(feat)))

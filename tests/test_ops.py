@@ -294,3 +294,21 @@ def test_sample_and_group_shapes(rng):
     new_xyz, grouped = sample_and_group(16, 1.0, 8, xyz, feat)
     assert new_xyz.shape == (2, 16, 3)
     assert grouped.shape == (2, 16, 8, 10)
+
+
+def test_jitted_icp_converges(rng):
+    """On-device ICP (ops/icp.icp) recovers a small rigid motion."""
+    import jax.numpy as jnp
+    from deepsir_tpu.math import se3_np
+    from deepsir_tpu.ops.icp import icp
+
+    cloud = rng.normal(size=(800, 3)).astype(np.float32) * 3
+    ang = 0.06
+    gt = np.eye(4)
+    gt[:3, :3] = [[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    gt[:3, 3] = [0.15, -0.1, 0.05]
+    tgt = se3_np.transform(gt, cloud).astype(np.float32)
+    est = np.asarray(icp(jnp.asarray(cloud), jnp.asarray(tgt),
+                         max_corr_dist=1.0, num_iter=30, chunk=256))
+    assert np.abs(est - gt[:3]).max() < 1e-3
