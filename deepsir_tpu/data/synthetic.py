@@ -20,14 +20,18 @@ from deepsir_tpu.math import rand, se3_np
 def make_structured_cloud(rng: np.random.Generator, num_points: int,
                           num_clusters: int = 40, extent: float = 10.0
                           ) -> np.ndarray:
-    """Mixture-of-clusters cloud (N, 4): xyz + a per-cluster pseudo-label
-    in 1..19 (SemanticKITTI learning-map id range), so the label/feat
-    pipelines can be driven end-to-end without any dataset on disk."""
+    """Mixture-of-clusters cloud (N, 4): xyz + a pseudo-label in 1..19
+    (SemanticKITTI learning-map id range), so the label/feat pipelines can
+    be driven end-to-end without any dataset on disk.
+
+    Labels are derived from the cluster's spatial scale — a rigid-motion-
+    invariant property a point network can actually learn from local
+    geometry (unlike an arbitrary cluster id)."""
     centers = rng.uniform(-extent, extent, size=(num_clusters, 3))
     scales = rng.uniform(0.1, 1.0, size=(num_clusters, 1))
     assign = rng.integers(0, num_clusters, size=num_points)
     pts = centers[assign] + rng.normal(size=(num_points, 3)) * scales[assign]
-    labels = (assign % 19) + 1
+    labels = 1 + np.minimum((scales[assign, 0] - 0.1) / 0.9 * 19, 18).astype(int)
     return np.concatenate([pts, labels[:, None]], axis=1).astype(np.float32)
 
 
@@ -35,10 +39,14 @@ class SyntheticPairs(PairDataset):
     """Pairs of the same synthetic cloud related by a random rigid motion."""
     has_labels = True
 
-    def __init__(self, cfg: Config, split: str = "train", size: int = 64,
+    def __init__(self, cfg: Config, split: str = "train", size: int = None,
                  noise: float = 0.01, p_keep: float = 1.0):
         super().__init__(cfg, split)
+        if size is None:
+            size = {"train": 256, "val": 64, "test": 32}.get(split, 64)
         self.size = size
+        # disjoint sample streams per split
+        self.seed_base = {"train": 977, "val": 1977, "test": 2977}.get(split, 977)
         self.noise = noise
         self.p_keep = p_keep
         self.label_column = self.feat_len
@@ -50,7 +58,7 @@ class SyntheticPairs(PairDataset):
         return self.size
 
     def get_pair(self, idx: int):
-        rng = np.random.default_rng((977, idx))
+        rng = np.random.default_rng((self.seed_base, idx))
         n = max(self.num_points, 2048)
         cloud = make_structured_cloud(rng, n)          # (N, 4) xyz + label
         gt = rand.random_se3_euler(rng, self.cfg.data.rot_mag,
