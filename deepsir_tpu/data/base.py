@@ -197,13 +197,26 @@ class Loader:
 
         ends = range(self.batch_size, n + 1, self.batch_size) if self.drop_last \
             else range(self.batch_size, n + self.batch_size, self.batch_size)
+        # bounded sliding prefetch window: a few batches ahead, so epoch
+        # memory stays O(window) rather than O(epoch) (a full KITTI epoch of
+        # decoded samples would be gigabytes)
+        window = self.batch_size * max(2, 2 * self.num_workers)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            futures = [pool.submit(fetch, i) for i in order]
+            futures = {}
+            submitted = 0
+
+            def top_up(upto):
+                nonlocal submitted
+                while submitted < min(upto, n):
+                    futures[submitted] = pool.submit(fetch, order[submitted])
+                    submitted += 1
+
             start = 0
             for end in ends:
                 end = min(end, n)
                 if end <= start:
                     break
-                yield make_pair_arrays([futures[i].result()
-                                        for i in range(start, end)])
+                top_up(end + window)
+                batch = [futures.pop(i).result() for i in range(start, end)]
+                yield make_pair_arrays(batch)
                 start = end
