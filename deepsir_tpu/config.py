@@ -41,6 +41,8 @@ class ModelConfig:
     dropout_rate: float = 0.5
     # numerics
     compute_dtype: str = "float32"    # dtype for activations ("bfloat16" on TPU)
+    knn_recall_target: float = 0.95   # <1: TPU ApproxTopK KNN (exact on CPU);
+                                      # 1.0: guaranteed-exact everywhere
     # registration loop
     num_train_reg_iter: int = 2
     num_reg_iter: int = 5
@@ -230,6 +232,7 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--out_feat_dim", type=int, default=64)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--knn_recall_target", type=float, default=0.95)
     p.add_argument("-bs", "--batch_size", type=int, default=1)
     p.add_argument("-nv", "--num_val", type=int, default=-1)
     p.add_argument("--resume", type=str, default=None)
@@ -270,6 +273,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         num_sub=args.num_sub, num_knn=args.num_knn,
         sub_sampling_ratio=tuple(args.sub_sampling_ratio), d_out=tuple(args.d_out),
         out_feat_dim=args.out_feat_dim, compute_dtype=args.compute_dtype,
+        knn_recall_target=getattr(args, "knn_recall_target", 0.95),
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,
         clip_weight_thresh=args.clip_weight_thresh, no_slack=args.no_slack,
         num_sk_iter=args.num_sk_iter)

@@ -41,14 +41,16 @@ class Pyramid(NamedTuple):
 
 
 def _build_single(xyz: jnp.ndarray, num_knn: int,
-                  ratios: Tuple[int, ...], chunk: int) -> Pyramid:
+                  ratios: Tuple[int, ...], chunk: int,
+                  recall_target: float) -> Pyramid:
     xyzs, neighs, pools, interps = [], [], [], []
     pc = xyz
     for r in ratios:
         n_next = pc.shape[0] // r
-        neigh, _ = knn(pc, pc, num_knn, chunk=chunk)         # (Nl, K)
+        neigh, _ = knn(pc, pc, num_knn, chunk=chunk,
+                       recall_target=recall_target)          # (Nl, K)
         sub = pc[:n_next]                                    # random sample
-        up, _ = knn(pc, sub, 1, chunk=chunk)                 # (Nl, 1)
+        up, _ = knn(pc, sub, 1, chunk=chunk)                 # (Nl, 1), exact
         xyzs.append(pc)
         neighs.append(neigh)
         pools.append(neigh[:n_next])                         # (N{l+1}, K)
@@ -57,12 +59,14 @@ def _build_single(xyz: jnp.ndarray, num_knn: int,
     return Pyramid(tuple(xyzs), tuple(neighs), tuple(pools), tuple(interps))
 
 
-@partial(jax.jit, static_argnames=("num_knn", "ratios", "chunk"))
+@partial(jax.jit, static_argnames=("num_knn", "ratios", "chunk",
+                                   "recall_target"))
 def build_pyramid(xyz: jnp.ndarray, num_knn: int = 16,
                   ratios: Tuple[int, ...] = (4, 4, 4, 4),
-                  chunk: int = 1024) -> Pyramid:
+                  chunk: int = 1024,
+                  recall_target: float = 0.95) -> Pyramid:
     """Build the index pyramid for a cloud (N, 3) or batch (B, N, 3)."""
     fn = _build_single
     for _ in range(xyz.ndim - 2):
-        fn = jax.vmap(fn, in_axes=(0, None, None, None))
-    return fn(xyz, num_knn, tuple(ratios), chunk)
+        fn = jax.vmap(fn, in_axes=(0, None, None, None, None))
+    return fn(xyz, num_knn, tuple(ratios), chunk, recall_target)

@@ -99,8 +99,10 @@ def device_batch(cfg: Config, arrays: Dict[str, np.ndarray]) -> PairBatch:
     m = cfg.model
     src = jnp.asarray(arrays["points_src"])
     ref = jnp.asarray(arrays["points_ref"])
-    pyr_src = build_pyramid(src[..., :3], m.num_knn, m.sub_sampling_ratio)
-    pyr_ref = build_pyramid(ref[..., :3], m.num_knn, m.sub_sampling_ratio)
+    pyr_src = build_pyramid(src[..., :3], m.num_knn, m.sub_sampling_ratio,
+                            recall_target=m.knn_recall_target)
+    pyr_ref = build_pyramid(ref[..., :3], m.num_knn, m.sub_sampling_ratio,
+                            recall_target=m.knn_recall_target)
     return PairBatch(
         points_src=src, points_ref=ref,
         pyramid_src=pyr_src, pyramid_ref=pyr_ref,
