@@ -181,8 +181,11 @@ class Config:
         elif ds == "Oxford":
             cfg = replace(cfg, data=replace(cfg.data, voxel_size=0.3))
             cfg = replace(cfg, model=replace(cfg.model, feat_len=3))
-        # thres_radius feeds the feat loss (reference mutates args in loaders)
-        cfg = replace(cfg, loss=replace(cfg.loss, thres_radius=cfg.data.thres_radius))
+        # thres_radius feeds the feat/align losses (the reference mutates
+        # args inside its loaders); an explicitly-passed positive flag wins
+        if cfg.loss.thres_radius <= 0:
+            cfg = replace(cfg, loss=replace(cfg.loss,
+                                            thres_radius=cfg.data.thres_radius))
         return cfg
 
 

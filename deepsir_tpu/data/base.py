@@ -98,6 +98,15 @@ class PairDataset:
             gt = t1 @ gt @ np.linalg.inv(t0) @ np.linalg.inv(t00)
 
         if self.num_points > 0:
+            if self.split == "train":
+                # per-epoch permutation BEFORE the deterministic exact-size
+                # resample: get_pair results are cached with a frozen
+                # per-pair shuffle, so without this every epoch would see
+                # the same point subset and the same random-subsample
+                # pyramid levels. Val/test keep the frozen order so
+                # evaluation is reproducible.
+                xyz0 = xyz0[rng.permutation(len(xyz0))]
+                xyz1 = xyz1[rng.permutation(len(xyz1))]
             xyz0 = T.fixed_resample(xyz0, self.num_points)
             xyz1 = T.fixed_resample(xyz1, self.num_points)
 

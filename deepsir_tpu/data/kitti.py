@@ -3,8 +3,10 @@
 Re-design of the reference's KITTIPair / SemanticKITTIPair
 (/root/reference/dataloader/kitti_loader.py:16-406) on top of PairDataset:
 
-  * train pairs: frames 2-3 apart within each train sequence (drive 1 capped
-    at diff 2 because of vehicle speed); test pairs: first frame >= 10 m
+  * train pairs: frames range(MIN,MAX)=only 2 apart with the defaults —
+    replicating the reference's actual behavior, whose drive-1 speed cap is
+    likewise unreachable at the default MIN/MAX (kitti_loader.py:87-96);
+    test pairs: first frame >= 10 m
     away, following the 3DFeatNet protocol; bad test pair (8, 15, 58) removed
   * GT pose: odometry poses conjugated through the velo->cam calibration,
     refined by point-to-point ICP on 0.05-voxelized clouds and cached to
@@ -89,7 +91,10 @@ class KITTIPair(PairDataset):
         return sorted(int(os.path.basename(f)[:-4]) for f in names)
 
     def _prepare_time_pairs(self, seqs) -> None:
-        """Train/val pairs: frames MIN..MAX-1 apart (reference prepare_kitti)."""
+        """Train/val pairs: frames MIN..MAX-1 apart — with the default
+        MIN=2, MAX=3 that is exactly diff==2, matching the reference's
+        actual behavior (prepare_kitti, kitti_loader.py:87-96, including
+        its never-taken drive-1 cap)."""
         for drive in seqs:
             ids = set(self._scan_ids(drive))
             max_diff = MAX_TIME_DIFF - 1 if (drive == 1 and MAX_TIME_DIFF - 1 > MIN_TIME_DIFF) \

@@ -54,7 +54,8 @@ def scan_alignment_loss(transforms: jnp.ndarray,
                         transform_gt: jnp.ndarray,
                         gt_matches: Optional[jnp.ndarray],
                         cfg: LossConfig,
-                        reduction: str = "mean") -> Dict[str, jnp.ndarray]:
+                        reduction: str = "mean",
+                        pt_ref: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
     """Total alignment loss over the registration iterations.
 
     transforms:    (iters, B, 3, 4) cumulative predicted transforms
@@ -63,6 +64,17 @@ def scan_alignment_loss(transforms: jnp.ndarray,
     pt_src:        (B, N, 3) untransformed source points
     transform_gt:  (B, 3, 4)
     gt_matches:    (B, M_cap, 2) padded GT correspondences (or None)
+    pt_ref:        (B, N, 3) reference points — when given, the BCE labels
+                   come from a direct in-graph geometric test instead of the
+                   match-list lookup (see below)
+
+    BCE supervision: a predicted pair (i, pred_idx[i]) is "correct" iff
+    |T_gt src_i - ref_{pred}| < thres_radius — the definition of a GT match
+    (reference get_matching_indices, data_base.py:436-449). With pt_ref
+    available this is evaluated directly on-device, which is exact for every
+    point; the match-LIST path (used when pt_ref is None) inherits the
+    list's fixed capacity, and a truncated list mislabels correct
+    predictions whose source points fell past the cap.
 
     Returns a dict with one entry per loss term per iteration and 'total'
     (summed with discount factor^(iters - i - 1), reference loss.py:844-849).
@@ -92,9 +104,18 @@ def scan_alignment_loss(transforms: jnp.ndarray,
             loss_dic[f"{cfg.loss_type}_{i}"] = red(zeros)
 
     # ---- correspondence-confidence BCE term (loss.py:812-828)
-    if cfg.wt_inlier_loss > 0 and gt_matches is not None:
+    use_geometric = pt_ref is not None and cfg.thres_radius > 0
+    if cfg.wt_inlier_loss > 0 and (use_geometric or gt_matches is not None):
+        gt_src = se3.transform(transform_gt, pt_src) if use_geometric else None
         for i in range(num_iter):
-            correct = correspondence_correct(pred_idx[i], gt_matches, num_points)
+            if use_geometric:
+                matched = jnp.take_along_axis(
+                    pt_ref, pred_idx[i][..., None], axis=-2)     # (B, N, 3)
+                d = jnp.linalg.norm(gt_src - matched, axis=-1)
+                correct = d < cfg.thres_radius
+            else:
+                correct = correspondence_correct(pred_idx[i], gt_matches,
+                                                 num_points)
             labels = correct.astype(inlier_logits.dtype)
             logits = inlier_logits[i]
             bce = jnp.maximum(logits, 0) - logits * labels + \

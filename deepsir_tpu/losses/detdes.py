@@ -71,11 +71,16 @@ def circle_loss(anc_feat: jnp.ndarray, pos_feat: jnp.ndarray,
     loss_feat = jnp.mean(loss_col + loss_row)
 
     # matching accuracy + detector loss: score should be high where the
-    # nearest-feature match is correct (diff < 0)
+    # nearest-feature match is correct (diff < 0). Anchors without any
+    # in-radius correspondent have an empty pos_mask and always count
+    # diff < 0 — a quirk inherited verbatim from the reference
+    # (loss.py:565-578 builds the same masks) and kept for parity; the
+    # accuracy denominator, however, is corrected to mean over B*N1 (the
+    # reference divides a batch-summed count by N1 only, loss.py:570).
     furthest_pos = jnp.max(dist_feat * pos_mask, axis=-1)
     closest_neg = jnp.min(dist_feat + _BIG * pos_mask, axis=-1)
     diff = furthest_pos - closest_neg                                 # (B, N1)
-    accuracy = jnp.sum(diff < 0) * 100.0 / diff.shape[-1]
+    accuracy = jnp.mean((diff < 0) * 100.0)
     loss_det = jnp.mean(diff * anc_score)
     return loss_feat, loss_det, accuracy
 

@@ -59,7 +59,11 @@ def score_points(feat: jnp.ndarray, xyz: jnp.ndarray, logits: jnp.ndarray,
     depth_max = jnp.max(feat_n, axis=-1, keepdims=True)              # (..., N, 1)
     channel_ratio = feat_n / (depth_max + _EPS)                      # (..., N, C)
 
-    # 4. semantic weight gated by prediction confidence
+    # 4. semantic weight gated by prediction confidence.
+    # NOTE: like the reference (model.py:638,747-749), `prob` is the max RAW
+    # logit normalized by the per-sample max — not a softmax probability — so
+    # the 0.2 gate degenerates when all logits share a sign. Replicated
+    # verbatim for parity.
     prob = jnp.max(logits, axis=-1)                                  # (..., N)
     label = jnp.argmax(logits, axis=-1)                              # (..., N)
     label_score = LABEL_WEIGHTS[label]

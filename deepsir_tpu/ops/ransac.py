@@ -75,7 +75,8 @@ def ransac_feature_matching(rng: jax.Array, src: jnp.ndarray,
                             num_hypotheses: int = 4096):
     """Feature-matching RANSAC (reference
     registration_ransac_based_on_feature_matching, DGR.py:20-36): putative
-    pairs are mutual nearest descriptors, then correspondence RANSAC."""
+    pairs are one-way src->ref nearest descriptors (as in the reference's
+    Open3D call), then correspondence RANSAC over them."""
     from deepsir_tpu.ops.distance import nearest_neighbour_index
     idx = nearest_neighbour_index(feat_src, feat_ref)       # (N,)
     corres = jnp.stack([jnp.arange(src.shape[0], dtype=jnp.int32), idx], 1)

@@ -62,15 +62,21 @@ def voxel_downsample(points: jnp.ndarray, voxel_size: float, capacity: int,
     coords = jnp.floor(points[:, :3] / voxel_size).astype(jnp.int32)
     coords = coords - jnp.min(jnp.where(valid_mask[:, None], coords, 2**31 - 1), axis=0)
     dims = jnp.max(jnp.where(valid_mask[:, None], coords, -1), axis=0) + 1
-    keys = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
-    keys = jnp.where(valid_mask, keys, jnp.iinfo(jnp.int32).max)  # padding last
-
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
+    # lexicographic order via two STABLE sorts (minor key first, then major);
+    # a single flattened int32 key would overflow once dx*dy*dz > 2^31 (e.g.
+    # a 100 m cloud at 0.05 m voxels) and silently merge far-apart points —
+    # the split keys only require dy*dz < 2^31
+    key_minor = coords[:, 1] * dims[2] + coords[:, 2]
+    key_major = jnp.where(valid_mask, coords[:, 0], jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key_minor, stable=True)
+    order = order[jnp.argsort(key_major[order], stable=True)]
+    coords_s = coords[order]
     pts_s = points[order]
     valid_s = valid_mask[order]
 
-    is_new = jnp.concatenate([jnp.array([True]), keys_s[1:] != keys_s[:-1]])
+    is_new = jnp.concatenate([
+        jnp.array([True]),
+        jnp.any(coords_s[1:] != coords_s[:-1], axis=1)])
     is_new = is_new & valid_s
     slot = jnp.cumsum(is_new) - 1                                   # (N,)
     # padding points and voxels beyond capacity go to the dump slot

@@ -123,7 +123,8 @@ def compute_loss(cfg: Config, model: Network, params, batch: PairBatch,
                                       rngs=rngs)
         loss_dic = scan_alignment_loss(
             transforms, out.inlier_logits, out.pred_idx, out.pt_src,
-            batch.transform_gt, batch.matches, cfg.loss)
+            batch.transform_gt, batch.matches, cfg.loss,
+            pt_ref=out.pt_ref)
         aux = {"loss": loss_dic["total"],
                "invalid": jnp.any(out.invalid)}
         return loss_dic["total"], aux

@@ -53,11 +53,20 @@ def mesh_summary(writer, step, arrays, pred_transform):
                     global_step=step)
 
 
-def validate(cfg, model, state, val_loader, logger, writer=None, step=0):
+def make_validate_step(cfg, model):
+    """Build the jitted validation step ONCE (a fresh jax.jit closure per
+    validation would recompile the whole graph each time)."""
+    if cfg.pipeline == "align":
+        return make_eval_step(cfg, model)
+    return make_forward_step(cfg, model)
+
+
+def validate(cfg, model, state, val_loader, logger, val_step,
+             writer=None, step=0):
     """Validation sweep -> checkpoint score (reference validate_align/feat/
     label, train.py:113-219; align score = success rate)."""
     if cfg.pipeline == "align":
-        eval_step = make_eval_step(cfg, model)
+        eval_step = val_step
         metrics = []
         last = None
         for batch in val_loader:
@@ -79,7 +88,7 @@ def validate(cfg, model, state, val_loader, logger, writer=None, step=0):
             mesh_summary(writer, step, last[0], last[1])
         return summary["succ"]
 
-    fwd = make_forward_step(cfg, model)
+    fwd = val_step
     if cfg.pipeline == "label":
         metric = SemanticMetric()
         for batch in val_loader:
@@ -152,6 +161,7 @@ def main():
 
     tx = make_optimizer(cfg, state.params, steps_per_epoch)
     train_step = make_train_step(cfg, model, tx)
+    val_step = make_validate_step(cfg, model)
     lr_sched = make_lr_schedule(cfg, steps_per_epoch)
 
     validate_every = cfg.train.validate_every
@@ -187,7 +197,7 @@ def main():
                         train_writer.add_scalar(k, float(v), step)
             if step % validate_every == 0:
                 score = validate(cfg, model, state, val_loader, logger,
-                                 writer=train_writer, step=step)
+                                 val_step, writer=train_writer, step=step)
                 train_writer.add_scalar("val_score", score, step)
                 saver.save(state, step, score=score)
         logger.info("Epoch %d done (step %d)", epoch, step)
