@@ -120,6 +120,7 @@ class TrainConfig:
     load_model_all: bool = False
     seed: int = 0
     max_epochs: int = 200
+    data_parallel: bool = False
 
 
 @dataclass(frozen=True)
@@ -255,6 +256,9 @@ def train_argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--rre_thresh", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_epochs", type=int, default=200)
+    p.add_argument("--data_parallel", type=str2bool, default=False,
+                   help="shard the batch over all devices (batch_size must "
+                        "be divisible by the device count)")
     return p
 
 
@@ -305,7 +309,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         rre_thresh=getattr(args, "rre_thresh", 5.0),
         resume=args.resume, load_model_all=args.load_model_all,
         seed=getattr(args, "seed", 0),
-        max_epochs=getattr(args, "max_epochs", 200))
+        max_epochs=getattr(args, "max_epochs", 200),
+        data_parallel=getattr(args, "data_parallel", False))
     ev = EvalConfig(
         transform_file=getattr(args, "transform_file", None),
         eval_save_path=getattr(args, "eval_save_path", "./out/"),

@@ -160,7 +160,22 @@ def main():
             logger.info("Partial restore: %d parameter arrays loaded", loaded)
 
     tx = make_optimizer(cfg, state.params, steps_per_epoch)
-    train_step = make_train_step(cfg, model, tx)
+    if cfg.train.data_parallel and jax.device_count() > 1:
+        # DP over the pair batch across every visible device (parallel/):
+        # params replicated, batch sharded, XLA inserts the gradient psum
+        from deepsir_tpu.parallel import make_sharded_train_step, shard_batch
+        from deepsir_tpu.parallel.mesh import make_mesh
+        from deepsir_tpu.parallel.sharded import replicate_state
+        mesh = make_mesh()
+        assert cfg.train.batch_size % mesh.shape["data"] == 0, (
+            f"batch_size {cfg.train.batch_size} not divisible by "
+            f"{mesh.shape['data']} data-parallel devices")
+        logger.info("Data parallel over mesh %s", dict(mesh.shape))
+        state = replicate_state(mesh, state)
+        _step = make_sharded_train_step(cfg, model, tx, mesh)
+        train_step = lambda s, a, r: _step(s, shard_batch(mesh, a), r)
+    else:
+        train_step = make_train_step(cfg, model, tx)
     val_step = make_validate_step(cfg, model)
     lr_sched = make_lr_schedule(cfg, steps_per_epoch)
 
