@@ -129,3 +129,38 @@ def test_randla_ppf_path(rng):
     feat, logits = model.apply(params, feats, pyr)
     assert feat.shape == (1, 128, 16) and logits.shape == (1, 128, 5)
     assert bool(jnp.all(jnp.isfinite(feat)))
+
+
+def test_registration_machinery_with_oracle_features(rng):
+    """SURVEY §4(c): the correspondence->inlier->Kabsch machinery must
+    recover the pose ~exactly when given oracle descriptors (GT-aligned
+    coordinates as features), independent of any learned network."""
+    import jax.numpy as jnp
+    from deepsir_tpu.math import se3, se3_np
+    from deepsir_tpu.ops.distance import nearest_neighbour_index
+    from deepsir_tpu.ops.gather import gather_points
+    from deepsir_tpu.ops.svd3 import weighted_kabsch
+
+    src = rng.normal(size=(1, 500, 3)).astype(np.float32) * 5
+    ang = 0.8
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = [[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    gt[:3, 3] = [2.0, -1.0, 0.5]
+    ref = se3_np.transform(gt, src[0])[rng.permutation(500)][None]
+
+    # oracle descriptors: the GT-aligned coordinates themselves
+    feat_src = jnp.asarray(se3_np.transform(gt, src[0])[None])
+    feat_ref = jnp.asarray(ref)
+    idx = nearest_neighbour_index(feat_src, feat_ref)
+    matched = gather_points(jnp.asarray(ref), idx)
+    tr, bad = weighted_kabsch(jnp.asarray(src), matched,
+                              jnp.ones((1, 500), jnp.float32))
+    tr = np.asarray(tr)[0]
+    assert not bool(np.asarray(bad)[0])
+    assert np.abs(tr - gt[:3]).max() < 1e-4
+
+    # success metric agrees
+    from deepsir_tpu.utils.metrics import rte_rre
+    succ, rte, rre = rte_rre(tr, gt, 0.6, 5.0)
+    assert succ == 1.0 and rte < 1e-4 and rre < 0.01
