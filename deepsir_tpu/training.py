@@ -57,9 +57,13 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int):
         end_value=cfg.train.lr_clip)
 
 
-def make_optimizer(cfg: Config, params, steps_per_epoch: int):
+def make_optimizer(cfg: Config, steps_per_epoch: int):
     """Adam on the pipeline's trainable groups; frozen groups get zeroed
-    updates via multi_transform."""
+    updates via multi_transform.
+
+    Pure function of (cfg, steps_per_epoch) — callers that rebuild it (e.g.
+    the train driver after create_train_state) get a structurally identical
+    transform, so opt_state remains compatible by construction."""
     trainable = TRAINABLE_GROUPS[cfg.pipeline]
 
     def label_fn(tree):
@@ -85,7 +89,7 @@ def create_train_state(cfg: Config, example_batch: Dict[str, np.ndarray],
     # init program instead of op-by-op dispatch
     init_fn = jax.jit(lambda rng, b: model.init(rng, b, opts))
     params = init_fn(jax.random.PRNGKey(seed), batch)
-    tx = make_optimizer(cfg, params, steps_per_epoch)
+    tx = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 

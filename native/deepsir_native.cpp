@@ -206,13 +206,53 @@ void kabsch(const double *src, const double *tgt, const double *w, int n,
     sv[c] = std::sqrt(std::max(ev[idx[c]], 0.0));
     for (int r = 0; r < 3; ++r) vs[r][c] = vmat[r][idx[c]];
   }
+  // U columns = H v_c / s_c, with GRAM-SCHMIDT orthonormal completion for
+  // (near-)zero singular values — identity-column substitution would make
+  // U non-orthogonal and the result a shear, not a rotation (rank-deficient
+  // correspondence sets: collinear or duplicated points)
   double u[3][3];
-  for (int r = 0; r < 3; ++r)
-    for (int c = 0; c < 3; ++c) {
+  for (int c = 0; c < 3; ++c) {
+    double col[3];
+    for (int r = 0; r < 3; ++r) {
       double s = 0;
       for (int k = 0; k < 3; ++k) s += h[r][k] * vs[k][c];
-      u[r][c] = sv[c] > 1e-12 ? s / sv[c] : (r == c ? 1.0 : 0.0);
+      col[r] = s;
     }
+    if (sv[c] > 1e-12) {
+      for (int r = 0; r < 3; ++r) col[r] /= sv[c];
+    } else {
+      // degenerate: pick any unit vector orthogonal to the earlier columns
+      col[0] = 1.0; col[1] = 0.0; col[2] = 0.0;
+    }
+    // orthogonalize against previously fixed columns (no-op when sv large)
+    for (int p = 0; p < c; ++p) {
+      double dot = 0;
+      for (int r = 0; r < 3; ++r) dot += col[r] * u[r][p];
+      for (int r = 0; r < 3; ++r) col[r] -= dot * u[r][p];
+    }
+    double nrm = std::sqrt(col[0] * col[0] + col[1] * col[1] + col[2] * col[2]);
+    if (nrm < 1e-12) {
+      // still degenerate: cross product of prior columns (c is then 2), or
+      // the basis vector least aligned with column 0
+      if (c == 2) {
+        col[0] = u[1][0] * u[2][1] - u[2][0] * u[1][1];
+        col[1] = u[2][0] * u[0][1] - u[0][0] * u[2][1];
+        col[2] = u[0][0] * u[1][1] - u[1][0] * u[0][1];
+      } else {
+        int least = 0;
+        for (int r = 1; r < 3; ++r)
+          if (std::abs(u[r][0]) < std::abs(u[least][0])) least = r;
+        col[0] = col[1] = col[2] = 0.0;
+        col[least] = 1.0;
+        double dot = 0;
+        for (int r = 0; r < 3; ++r) dot += col[r] * u[r][0];
+        for (int r = 0; r < 3; ++r) col[r] -= dot * u[r][0];
+      }
+      nrm = std::sqrt(col[0] * col[0] + col[1] * col[1] + col[2] * col[2]);
+      if (nrm < 1e-12) { col[0] = 1.0; col[1] = col[2] = 0.0; nrm = 1.0; }
+    }
+    for (int r = 0; r < 3; ++r) u[r][c] = col[r] / nrm;
+  }
   // rotation = U diag(1,1,det(UV^T)) V^T ... for src->tgt: R = U_h? Use
   // R = U * D * V^T with H = sum (src-cs)(tgt-ct)^T => R = V D U^T? Careful:
   // with H = Σ s t^T (rows s, cols t), R maps src->tgt as R = U_t Σ V_s^T of
@@ -375,9 +415,13 @@ void knn_search(const float *query, int nq, int q_stride, const float *ref,
       if (j < m) {
         idx[i * k + j] = buf[m - 1 - j].second;
         dist[i * k + j] = buf[m - 1 - j].first;
-      } else {  // fewer refs than k: repeat the last
-        idx[i * k + j] = m ? buf[0].second : 0;
-        dist[i * k + j] = m ? buf[0].first : 0.0f;
+      } else if (m > 0) {  // fewer refs than k: repeat the farthest found
+        idx[i * k + j] = buf[0].second;
+        dist[i * k + j] = buf[0].first;
+      } else {  // empty reference cloud: inf sentinel (matches scipy), so
+                // distance-thresholded callers see "no match" not a perfect one
+        idx[i * k + j] = 0;
+        dist[i * k + j] = std::numeric_limits<float>::infinity();
       }
     }
   }

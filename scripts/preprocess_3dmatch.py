@@ -101,10 +101,12 @@ def main():
     t0 = time.time()
     for scene, sids in scene_to_ids.items():
         print(f"scene {scene}: {len(sids)} fragments")
+        # one float32 copy per fragment, reused across all O(F^2) pairings
+        f32 = {sid: pts[sid].astype(np.float32) for sid in sids}
         for i in range(len(sids)):
-            anc = pts[sids[i]].astype(np.float32)
+            anc = f32[sids[i]]
             for j in range(i + 1, len(sids)):
-                pos = pts[sids[j]].astype(np.float32)
+                pos = f32[sids[j]]
                 matches = nn_matches(anc, pos, args.voxel)
                 ratio = len(matches) / max(len(anc), 1)
                 if ratio > OVERLAP_THRESH:

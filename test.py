@@ -70,7 +70,7 @@ def main():
     example = batch_arrays_only(next(iter(loader)))
     model, state = create_train_state(cfg, example, seed=0)
     if cfg.train.resume:
-        saver = CheckPointManager(os.path.dirname(cfg.train.resume))
+        saver = CheckPointManager(os.path.dirname(cfg.train.resume) or ".")
         state, step = saver.load(cfg.train.resume, state)
         logger.info("Restored checkpoint at step %d", step)
     else:

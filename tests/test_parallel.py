@@ -64,7 +64,7 @@ def test_sharded_train_step_runs_and_matches_single_device():
     cfg = tiny_cfg(batch_size=8)
     arrays = synthetic_arrays(cfg, 8)
     model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
-    tx = make_optimizer(cfg, state.params, 10)
+    tx = make_optimizer(cfg, 10)
 
     mesh = make_mesh()  # 8-way DP
     step = make_sharded_train_step(cfg, model, tx, mesh)

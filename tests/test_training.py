@@ -39,7 +39,7 @@ def test_align_train_step_updates_only_inlier():
     cfg = tiny_cfg("align")
     arrays = get_batch(cfg)
     model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
-    tx = make_optimizer(cfg, state.params, 10)
+    tx = make_optimizer(cfg, 10)
     step_fn = make_train_step(cfg, model, tx)
     new_state, aux = step_fn(state, arrays, jax.random.PRNGKey(0))
     assert np.isfinite(float(aux["loss"]))
@@ -62,7 +62,7 @@ def test_label_train_step_decreases_loss():
     arrays["labels_ref"] = (1 + (z > np.median(z)).astype(np.int32) * 8)
 
     model, state = create_train_state(cfg, arrays, steps_per_epoch=100)
-    tx = make_optimizer(cfg, state.params, 100)
+    tx = make_optimizer(cfg, 100)
     step_fn = make_train_step(cfg, model, tx)
     losses = []
     for i in range(15):
@@ -75,7 +75,7 @@ def test_feat_train_step_runs():
     cfg = tiny_cfg("feat")
     arrays = get_batch(cfg)
     model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
-    tx = make_optimizer(cfg, state.params, 10)
+    tx = make_optimizer(cfg, 10)
     step_fn = make_train_step(cfg, model, tx)
     new_state, aux = step_fn(state, arrays, jax.random.PRNGKey(0))
     assert np.isfinite(float(aux["loss"]))
@@ -107,7 +107,7 @@ def test_nan_guard_skips_update():
     cfg = tiny_cfg("align")
     arrays = get_batch(cfg)
     model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
-    tx = make_optimizer(cfg, state.params, 10)
+    tx = make_optimizer(cfg, 10)
     step_fn = make_train_step(cfg, model, tx)
     bad = dict(arrays)
     bad["points_src"] = np.full_like(arrays["points_src"], np.nan)

@@ -130,11 +130,14 @@ def main():
     train_writer = SummaryWriter(os.path.join(log_path, "train"))
 
     train_set, val_set = get_train_datasets(cfg)
+    # drop_last on both loaders: a partial final batch would change the
+    # static shapes (extra multi-minute XLA recompile) and break the DP
+    # shard divisibility assert
     train_loader = Loader(train_set, cfg.train.batch_size, shuffle=True,
                           seed=cfg.train.seed,
-                          num_workers=cfg.data.num_workers)
+                          num_workers=cfg.data.num_workers, drop_last=True)
     val_loader = Loader(val_set, cfg.train.batch_size, shuffle=False,
-                        num_workers=cfg.data.num_workers)
+                        num_workers=cfg.data.num_workers, drop_last=True)
     logger.info("Train set: %d samples, val set: %d", len(train_set),
                 len(val_set))
 
@@ -159,7 +162,7 @@ def main():
             state = state._replace(params=params)
             logger.info("Partial restore: %d parameter arrays loaded", loaded)
 
-    tx = make_optimizer(cfg, state.params, steps_per_epoch)
+    tx = make_optimizer(cfg, steps_per_epoch)
     if cfg.train.data_parallel and jax.device_count() > 1:
         # DP over the pair batch across every visible device (parallel/):
         # params replicated, batch sharded, XLA inserts the gradient psum
@@ -182,6 +185,7 @@ def main():
     validate_every = cfg.train.validate_every
     if validate_every < 0:                       # negative = epochs
         validate_every = -validate_every * steps_per_epoch
+    # 0 disables periodic validation entirely
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     timer = Timer()
@@ -210,14 +214,17 @@ def main():
                 for k, v in aux.items():
                     if k not in ("loss",) and np.ndim(v) == 0:
                         train_writer.add_scalar(k, float(v), step)
-            if step % validate_every == 0:
+            if validate_every > 0 and step % validate_every == 0:
                 score = validate(cfg, model, state, val_loader, logger,
                                  val_step, writer=train_writer, step=step)
                 train_writer.add_scalar("val_score", score, step)
                 saver.save(state, step, score=score)
         logger.info("Epoch %d done (step %d)", epoch, step)
 
-    saver.save(state, step, score=-np.inf)
+    # final checkpoint; if no validation ever ran, let it become the best
+    # so `test.py --resume <ckpt dir>` always finds model_best.msgpack
+    final_score = 0.0 if saver.best_step is None else -np.inf
+    saver.save(state, step, score=final_score)
     logger.info("Training complete at step %d", step)
 
 
