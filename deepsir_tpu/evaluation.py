@@ -304,11 +304,18 @@ def inference_feat(loader, fwd_step, params, cfg: Config, save_path: str,
             gt = arrays["transform_gt"]
             xyz_src = se3_np.transform(gt[0], np.asarray(out.xyz_src)[0])
             xyz_ref = np.asarray(out.xyz_ref)[0]
-            for name, xyz, score in (("src", xyz_src, out.score_src),
-                                     ("ref", xyz_ref, out.score_ref)):
+            raw_src = se3_np.transform(gt[0], arrays["points_src"][0, :, :3])
+            raw_ref = arrays["points_ref"][0, :, :3]
+            for name, xyz, score, raw in (
+                    ("src", xyz_src, out.score_src, raw_src),
+                    ("ref", xyz_ref, out.score_ref, raw_ref)):
                 pt = np.concatenate([xyz, np.asarray(score)[0][:, None]], 1)
                 _save_txt(os.path.join(save_path, f"{count:06d}_{name}_pt.txt"),
                           pt)
+                # full input cloud alongside the scored keypoints
+                # (reference inference_feat raw dump, test.py:487-490)
+                _save_txt(os.path.join(save_path,
+                                       f"{count:06d}_{name}_raw.txt"), raw)
         count += len(arrays["points_src"])
     _logger.info("Total inference time: %.3fs", total_time)
 
