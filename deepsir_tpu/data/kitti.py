@@ -73,7 +73,7 @@ class KITTIPair(PairDataset):
 
         self._pose_cache: dict = {}
         self.files: List[Tuple[int, int, int]] = []
-        seqs = {"train": TRAIN_SEQS, "val": VAL_SEQS, "test": TEST_SEQS}[split]
+        seqs = self._split_seqs(split)
         if split == "test":
             self._prepare_distance_pairs(seqs)
         else:
@@ -82,6 +82,17 @@ class KITTIPair(PairDataset):
             self.files = self.files[:cfg.data.num_val]
 
     # ------------------------------------------------------------- indexing
+
+    def _split_seqs(self, split: str) -> Tuple[int, ...]:
+        """Sequence ids for a split: read `<dataset_path>/split/<split>_kitti
+        .txt` when present (the reference's user-editable split files,
+        kitti_loader.py:21-24), else the published defaults."""
+        path = os.path.join(self.cfg.data.dataset_path, "split",
+                            f"{split}_kitti.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                return tuple(int(v) for v in f.read().split())
+        return {"train": TRAIN_SEQS, "val": VAL_SEQS, "test": TEST_SEQS}[split]
 
     def _scan_ids(self, drive: int) -> List[int]:
         pattern = os.path.join(self.root_path, "sequences", f"{drive:02d}",

@@ -187,3 +187,15 @@ def test_semantic_kitti_remap():
     from deepsir_tpu.data.semantic_kitti import remap_labels
     raw = np.array([0, 10, 252, 259, 30, 81])
     np.testing.assert_array_equal(remap_labels(raw), [0, 1, 1, 5, 6, 19])
+
+
+def test_kitti_split_file_override(kitti_tree):
+    """Custom split files (reference kitti_loader.py:21-24) override the
+    default sequence lists."""
+    from deepsir_tpu.data.kitti import KITTIPair
+    split_dir = kitti_tree / "split"
+    split_dir.mkdir(exist_ok=True)
+    (split_dir / "val_kitti.txt").write_text("3\n")
+    cfg = tiny_cfg(kitti_tree, "KITTI")
+    ds = KITTIPair(cfg, split="val")
+    assert {f[0] for f in ds.files} == {3}
