@@ -50,6 +50,9 @@ def sharded_nearest_neighbour_index(feat_src: jnp.ndarray,
     sharded on `axis`; returns global argmin indices (N,) int32."""
     nshards = mesh.shape[axis]
     m_total = feat_ref.shape[0]
+    assert m_total % nshards == 0, (
+        f"ref point count {m_total} must divide the '{axis}' axis "
+        f"({nshards} shards); pad the cloud to a multiple")
     m_local = m_total // nshards
 
     def body(src, ref_shard):
@@ -80,6 +83,9 @@ def ring_nearest_neighbour_index(feat_src: jnp.ndarray,
     running (min-dist, global-idx) for its (replicated) src rows."""
     nshards = mesh.shape[axis]
     m_total = feat_ref.shape[0]
+    assert m_total % nshards == 0, (
+        f"ref point count {m_total} must divide the '{axis}' axis "
+        f"({nshards} shards); pad the cloud to a multiple")
     m_local = m_total // nshards
     perm = [(i, (i + 1) % nshards) for i in range(nshards)]
 
