@@ -68,7 +68,7 @@ def validate(cfg, model, state, val_loader, logger, val_step,
     if cfg.pipeline == "align":
         eval_step = val_step
         metrics = []
-        last = None
+        worst = None                       # (err_t, arrays, transform)
         for batch in val_loader:
             arrays = batch_arrays_only(batch)
             transforms, _ = eval_step(state.params, arrays)
@@ -77,15 +77,21 @@ def validate(cfg, model, state, val_loader, logger, val_step,
                                 arrays["points_src"], arrays["points_ref"],
                                 cfg.train.rte_thresh, cfg.train.rre_thresh)
             metrics.append(m)
-            last = (arrays, transforms[-1])
+            # track the worst sample for the mesh dump (the reference
+            # re-runs and dumps its worst validation sample, train.py:196-214)
+            i_bad = int(np.argmax(m["err_t"]))
+            if worst is None or m["err_t"][i_bad] > worst[0]:
+                worst = (float(m["err_t"][i_bad]),
+                         {k: v[i_bad:i_bad + 1] for k, v in arrays.items()},
+                         np.asarray(transforms[-1])[i_bad:i_bad + 1])
         merged = {k: np.concatenate([m[k] for m in metrics])
                   for k in metrics[0]}
         summary = summarize_metrics(merged)
         logger.info("Validation: succ %.3f | err_r %.3f deg | err_t %.3g",
                     summary["succ"], summary["err_r_deg_mean"],
                     summary["err_t_mean"])
-        if writer is not None and last is not None:
-            mesh_summary(writer, step, last[0], last[1])
+        if writer is not None and worst is not None:
+            mesh_summary(writer, step, worst[1], worst[2])
         return summary["succ"]
 
     fwd = val_step
