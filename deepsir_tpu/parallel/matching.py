@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepsir_tpu.ops.distance import _nn_index_single
-from deepsir_tpu.parallel.mesh import MODEL_AXIS
+from deepsir_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _local_min(src, ref_shard, chunk):
@@ -74,6 +74,78 @@ def sharded_nearest_neighbour_index(feat_src: jnp.ndarray,
     return fn(feat_src, feat_ref)
 
 
+def _ring_argmin_body(src, ref_shard, axis, nshards, m_local, chunk):
+    """Ring reduction body; runs inside shard_map on one device.
+
+    src (..., N, C) replicated on `axis`; ref_shard (..., Ms, C) is this
+    device's slice. Returns global argmin indices (..., N) int32, identical
+    on every device (lowest-global-index tie-break).
+    """
+    local_min = _local_min
+    for _ in range(src.ndim - 2):
+        local_min = jax.vmap(local_min, in_axes=(0, 0, None))
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+    perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+    best_d = jnp.full(src.shape[:-1], jnp.inf, src.dtype)
+    best_i = jnp.zeros(src.shape[:-1], jnp.int32)
+
+    def step(k, carry):
+        best_d, best_i, shard = carry
+        owner = jnp.mod(me - k, nshards).astype(jnp.int32)
+        d, idx = local_min(src, shard, chunk)
+        gidx = idx + owner * m_local
+        take = (d < best_d) | ((d == best_d) & (gidx < best_i))
+        best_d = jnp.where(take, d, best_d)
+        best_i = jnp.where(take, gidx, best_i)
+        shard = jax.lax.ppermute(shard, axis, perm)
+        return best_d, best_i, shard
+
+    best_d, best_i, _ = jax.lax.fori_loop(
+        0, nshards, step, (best_d, best_i, ref_shard))
+    return best_i
+
+
+def make_ring_matcher(mesh: Mesh, axis: str = MODEL_AXIS,
+                      data_axis: str = DATA_AXIS, chunk: int = 1024):
+    """Build a batched matcher that shards the ref cloud over `axis`.
+
+    Returns matcher(feat_src (B, N, C), feat_ref (B, M, C)) -> (B, N) int32,
+    a drop-in for ops.distance.nearest_neighbour_index inside a jitted
+    forward: the batch dim rides the `data_axis`, ref points are split over
+    the `axis` ring, and the result is replicated along `axis` (every device
+    reduces over all ref shards with a deterministic lowest-global-index
+    tie-break). This is the in-model integration of the ring strategy — the
+    replacement for the reference's single-GPU stride-6000 loop
+    (/root/reference/network/model.py:558-569) at multi-chip scale.
+    """
+    nshards = mesh.shape[axis]
+
+    def matcher(feat_src: jnp.ndarray, feat_ref: jnp.ndarray) -> jnp.ndarray:
+        feat_src = jax.lax.stop_gradient(feat_src)
+        feat_ref = jax.lax.stop_gradient(feat_ref)
+        m_total = feat_ref.shape[-2]
+        assert m_total % nshards == 0, (
+            f"ref point count {m_total} must divide the '{axis}' axis "
+            f"({nshards} shards); pad the cloud to a multiple")
+        m_local = m_total // nshards
+
+        def body(src, ref_shard):
+            return _ring_argmin_body(src, ref_shard, axis, nshards,
+                                     m_local, chunk)
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(data_axis), P(data_axis, axis, None)),
+            out_specs=P(data_axis),
+            # replicated along `axis` by construction (deterministic ring
+            # reduction over all shards); the checker can't see through
+            # ppermute, so we assert it
+            check_vma=False)
+        return fn(feat_src, feat_ref)
+
+    return matcher
+
+
 def ring_nearest_neighbour_index(feat_src: jnp.ndarray,
                                  feat_ref: jnp.ndarray,
                                  mesh: Mesh,
@@ -87,31 +159,15 @@ def ring_nearest_neighbour_index(feat_src: jnp.ndarray,
         f"ref point count {m_total} must divide the '{axis}' axis "
         f"({nshards} shards); pad the cloud to a multiple")
     m_local = m_total // nshards
-    perm = [(i, (i + 1) % nshards) for i in range(nshards)]
 
     def body(src, ref_shard):
-        me = jax.lax.axis_index(axis).astype(jnp.int32)
-        best_d = jnp.full((src.shape[0],), jnp.inf, src.dtype)
-        best_i = jnp.zeros((src.shape[0],), jnp.int32)
-
-        def step(k, carry):
-            best_d, best_i, shard = carry
-            # the shard currently held originated on device (me - k) mod d
-            owner = jnp.mod(me - k, nshards).astype(jnp.int32)
-            d, idx = _local_min(src, shard, chunk)
-            gidx = idx + owner * m_local
-            take = d < best_d
-            best_d = jnp.where(take, d, best_d)
-            best_i = jnp.where(take, gidx, best_i)
-            # rotate shards one hop around the ring (the final rotation
-            # returns them home; unconditional keeps the collective out of
-            # divergent control flow)
-            shard = jax.lax.ppermute(shard, axis, perm)
-            return best_d, best_i, shard
-
-        best_d, best_i, _ = jax.lax.fori_loop(
-            0, nshards, step, (best_d, best_i, ref_shard))
-        return best_i
+        # lowest-global-index tie-break keeps every device's reduction
+        # identical despite different shard visit orders (exact ties are
+        # routine: fixed_resample pads clouds by duplicating points), so the
+        # replicated out_specs claim holds and matches jnp.argmin's
+        # first-occurrence convention.
+        return _ring_argmin_body(src, ref_shard, axis, nshards, m_local,
+                                 chunk)
 
     fn = jax.shard_map(
         body, mesh=mesh,

@@ -20,7 +20,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepsir_tpu.config import Config
-from deepsir_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from deepsir_tpu.parallel.matching import make_ring_matcher
+from deepsir_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                                       replicated)
 from deepsir_tpu.training import (TrainState, make_eval_step, make_train_step)
 
 
@@ -43,13 +45,27 @@ def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
     return jax.device_put(state, replicated(mesh))
 
 
+def model_with_mesh_matcher(model, mesh: Mesh, chunk: int = 1024):
+    """Route the align forward's correspondence search through the
+    ring-sharded matcher when the mesh has a model axis (>1 shard).
+
+    The matcher is parameter-free, so the clone shares the original params —
+    a checkpoint trained single-device runs point-sharded unchanged. This is
+    the config-level switch that makes ref-cloud sharding (SURVEY §5.7) a
+    model capability rather than a standalone library function.
+    """
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1 or model.pipeline != "align":
+        return model
+    return model.clone(matcher=make_ring_matcher(mesh, chunk=chunk))
+
+
 def make_sharded_train_step(cfg: Config, model, tx, mesh: Mesh):
     """Jitted DP train step: params replicated, batch sharded on 'data'.
 
     Returns a function (state, arrays, rng) -> (state, aux); inputs may be
     host arrays (they are placed according to the shardings at call time).
     """
-    base = make_train_step(cfg, model, tx)
+    base = make_train_step(cfg, model_with_mesh_matcher(model, mesh), tx)
     rep = replicated(mesh)
     bat = batch_sharding(mesh)
     return jax.jit(
@@ -60,7 +76,7 @@ def make_sharded_train_step(cfg: Config, model, tx, mesh: Mesh):
 
 
 def make_sharded_eval_step(cfg: Config, model, mesh: Mesh, num_iter=None):
-    base = make_eval_step(cfg, model, num_iter)
+    base = make_eval_step(cfg, model_with_mesh_matcher(model, mesh), num_iter)
     rep = replicated(mesh)
     bat = batch_sharding(mesh)
     return jax.jit(

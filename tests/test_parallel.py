@@ -11,12 +11,15 @@ import pytest
 
 from deepsir_tpu.config import Config, ModelConfig, replace
 from deepsir_tpu.ops.distance import nearest_neighbour_index
-from deepsir_tpu.parallel import (make_mesh, make_sharded_train_step,
+from deepsir_tpu.parallel import (make_mesh, make_ring_matcher,
+                                  make_sharded_eval_step,
+                                  make_sharded_train_step,
                                   ring_nearest_neighbour_index,
                                   shard_batch,
                                   sharded_nearest_neighbour_index)
 from deepsir_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from deepsir_tpu.training import create_train_state, make_optimizer
+from deepsir_tpu.training import (create_train_state, make_eval_step,
+                                  make_optimizer)
 
 
 def tiny_cfg(batch_size=8):
@@ -58,6 +61,53 @@ def test_sharded_matching_equals_single_device(rng):
     got_ring = ring_nearest_neighbour_index(src, ref, mesh, chunk=32)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got_gather))
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got_ring))
+
+
+def test_ring_ties_resolve_to_lowest_global_index(rng):
+    # duplicated ref points (what fixed_resample padding produces) force
+    # exact distance ties across shards; every device must agree on the
+    # lowest global index — jnp.argmin's first-occurrence convention
+    mesh = make_mesh(num_data=1, num_model=8)
+    src = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    base = rng.normal(size=(16, 8)).astype(np.float32)
+    ref = jnp.asarray(np.tile(base, (8, 1)))        # 128 pts, 8x duplicated
+    want = nearest_neighbour_index(src, ref, chunk=32)
+    got = ring_nearest_neighbour_index(src, ref, mesh, chunk=32)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # the declared-replicated output must actually be identical per device
+    shards = [np.asarray(s.data) for s in got.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_batched_ring_matcher_matches_xla_path(rng):
+    mesh = make_mesh(num_data=2, num_model=4)
+    src = jnp.asarray(rng.normal(size=(2, 96, 16)), jnp.float32)
+    ref = jnp.asarray(rng.normal(size=(2, 128, 16)), jnp.float32)
+    matcher = make_ring_matcher(mesh, chunk=32)
+    got = jax.jit(matcher)(src, ref)
+    want = nearest_neighbour_index(src, ref, chunk=32)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_sharded_align_forward_matches_single_device():
+    # the FULL align forward with the ref cloud ring-sharded over the model
+    # axis must reproduce the single-device forward (SURVEY §5.7 integration)
+    cfg = tiny_cfg(batch_size=4)
+    arrays = synthetic_arrays(cfg, 4)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+
+    base = make_eval_step(cfg, model, num_iter=2)
+    want_tf, want_out = base(state.params, arrays)
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    step = make_sharded_eval_step(cfg, model, mesh, num_iter=2)
+    got_tf, got_out = step(state.params, shard_batch(mesh, arrays))
+
+    np.testing.assert_array_equal(np.asarray(want_out.pred_idx),
+                                  np.asarray(got_out.pred_idx))
+    np.testing.assert_allclose(np.asarray(want_tf), np.asarray(got_tf),
+                               atol=1e-5)
 
 
 def test_sharded_train_step_runs_and_matches_single_device():
