@@ -4,9 +4,9 @@ score-weighted detector term.
 TPU-native equivalent of the reference's CircleLoss / DetDesLoss
 (/root/reference/network/loss.py:483-702). The positive/negative masks are
 built from the GT-aligned point-distance matrix exactly as the reference
-does: positives are each anchor's nearest true correspondent (within
-thres_radius); pairs inside the radius that are not the nearest are "false
-negatives" excluded from the negative set.
+does: every pair inside thres_radius is excluded from the negative set and
+enters the positive logsumexp; the detector term's pos_mask replicates the
+reference's zero-before-min quirk (see circle_loss body).
 
 Memory note: this loss materializes the (N1, N2) point- and feature-distance
 matrices, as the reference does; it is intended for the `feat` pipeline where
@@ -42,15 +42,26 @@ def circle_loss(anc_feat: jnp.ndarray, pos_feat: jnp.ndarray,
     """
     anc_score = anc_score / (jnp.sum(anc_score, axis=1, keepdims=True) + _EPS)
 
-    dist_pc = jnp.sqrt(jnp.maximum(square_distance(anc_pc, pos_pc), 0.0))
+    # point distances use the direct difference norm (reference
+    # loss.py:518-520), NOT the |a|^2+|b|^2-2ab expansion: the pos_mask below
+    # tests dist == 0 exactly, and the expansion form's rounding turns exact
+    # duplicates into ~1e-6 — flipping the mask. Feature distances keep the
+    # expansion (the reference's square_distance_V2 + sqrt(+eps), loss.py:527)
+    dist_pc = jnp.linalg.norm(
+        anc_pc[..., :, None, :] - pos_pc[..., None, :, :], axis=-1)
     dist_feat = jnp.sqrt(jnp.maximum(square_distance(anc_feat, pos_feat), 0.0) + _EPS)
 
     false_neg = dist_pc < thres_radius                                # (B, N1, N2)
-    # nearest true correspondent per anchor; anchors with no point inside the
-    # radius get an empty positive set (masked == inf everywhere)
-    masked = jnp.where(false_neg, dist_pc, jnp.inf)
-    dist_min = jnp.min(masked, axis=-1, keepdims=True)
-    pos_mask = (masked == dist_min) & false_neg
+    # the reference's positive mask (loss.py:533-535) zeroes out-of-radius
+    # entries BEFORE the min, so dist_min collapses to 0 whenever any pair is
+    # out of radius and pos_mask keeps only EXACT-duplicate points
+    # (dist == 0). That is generically empty on KITTI/3DMatch feat pairs but
+    # is the true correspondence on Oxford self-pairs (identical points,
+    # identity GT). Replicated bit-for-bit: it only affects the detector
+    # term and accuracy — lse_positive already treats every in-radius pair
+    # as a positive either way (verified by tests/test_parity_reference.py).
+    dist_min = jnp.min(dist_pc * false_neg, axis=-1, keepdims=True)
+    pos_mask = dist_pc == dist_min
     neg_mask = ~(pos_mask | false_neg)
 
     # negatives are pushed far negative so they vanish from the positive
@@ -71,12 +82,12 @@ def circle_loss(anc_feat: jnp.ndarray, pos_feat: jnp.ndarray,
     loss_feat = jnp.mean(loss_col + loss_row)
 
     # matching accuracy + detector loss: score should be high where the
-    # nearest-feature match is correct (diff < 0). Anchors without any
-    # in-radius correspondent have an empty pos_mask and always count
-    # diff < 0 — a quirk inherited verbatim from the reference
-    # (loss.py:565-578 builds the same masks) and kept for parity; the
-    # accuracy denominator, however, is corrected to mean over B*N1 (the
-    # reference divides a batch-summed count by N1 only, loss.py:570).
+    # nearest-feature match is correct (diff < 0). With the reference's
+    # degenerate pos_mask (above), anchors without an exact-duplicate
+    # correspondent have furthest_pos = 0 and always count diff < 0 — kept
+    # verbatim for parity (loss.py:565-578); the accuracy denominator,
+    # however, is corrected to mean over B*N1 (the reference divides a
+    # batch-summed count by N1 only, loss.py:570).
     furthest_pos = jnp.max(dist_feat * pos_mask, axis=-1)
     closest_neg = jnp.min(dist_feat + _BIG * pos_mask, axis=-1)
     diff = furthest_pos - closest_neg                                 # (B, N1)

@@ -72,22 +72,15 @@ def apply_to_cloud(trans_mat: np.ndarray, p0: np.ndarray) -> np.ndarray:
 def quat2mat(q: np.ndarray) -> np.ndarray:
     """Rotation matrix from quaternion (w, x, y, z), non-unit allowed.
 
-    (reference common/math/se3.py quat2mat)
+    Same contract as the reference's vendored nibabel routine
+    (common/math/se3.py quat2mat): near-zero quaternions map to identity,
+    anything else is normalized. Delegates to scipy (note scipy's quat
+    order is (x, y, z, w)).
     """
-    w, x, y, z = q
-    nq = w * w + x * x + y * y + z * z
-    if nq < 1e-8:
+    w, x, y, z = np.asarray(q, dtype=float)
+    if w * w + x * x + y * y + z * z < 1e-8:
         return np.eye(3)
-    s = 2.0 / nq
-    X, Y, Z = x * s, y * s, z * s
-    wX, wY, wZ = w * X, w * Y, w * Z
-    xX, xY, xZ = x * X, x * Y, x * Z
-    yY, yZ, zZ = y * Y, y * Z, z * Z
-    return np.array([
-        [1.0 - (yY + zZ), xY - wZ, xZ + wY],
-        [xY + wZ, 1.0 - (xX + zZ), yZ - wX],
-        [xZ - wY, yZ + wX, 1.0 - (xX + yY)],
-    ])
+    return Rotation.from_quat([x, y, z, w]).as_matrix()
 
 
 def xyzquat2mat(xyzquat: np.ndarray) -> np.ndarray:
