@@ -92,7 +92,13 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
 def radius_matches(src_xyz: np.ndarray, ref_xyz: np.ndarray,
                    trans: np.ndarray, radius: float,
                    max_pairs: int = 2_000_000) -> np.ndarray:
-    """(P, 2) int32 pairs with |T src_i - ref_j| < radius."""
+    """(P, 2) int32 pairs with |T src_i - ref_j| < radius.
+
+    The native kernel returns the TRUE pair count even when it exceeds the
+    buffer; on overflow we retry once with an exact-size buffer so dense
+    clouds / large radii never silently lose GT correspondences (the scipy
+    fallback in ops/radius_match.py has no cap either).
+    """
     lib = load()
     src = np.ascontiguousarray(src_xyz, dtype=np.float32)
     ref = np.ascontiguousarray(ref_xyz, dtype=np.float32)
@@ -100,6 +106,11 @@ def radius_matches(src_xyz: np.ndarray, ref_xyz: np.ndarray,
     out = np.empty((max_pairs, 2), dtype=np.int32)
     p = lib.radius_matches(src, len(src), src.shape[1], ref, len(ref),
                            ref.shape[1], t, radius, out, max_pairs)
+    if p > max_pairs:
+        out = np.empty((p, 2), dtype=np.int32)
+        p2 = lib.radius_matches(src, len(src), src.shape[1], ref, len(ref),
+                                ref.shape[1], t, radius, out, p)
+        p = min(p, p2)
     return out[:p].copy()
 
 

@@ -359,7 +359,9 @@ int voxel_downsample(const float *points, int n, int c, float voxel_size,
 }
 
 // All (i, j) with |T*src_i - ref_j| < radius, via a uniform grid over ref
-// with cell == radius. trans: row-major 3x4. Returns pair count (<= max).
+// with cell == radius. trans: row-major 3x4. Writes at most max_pairs pairs
+// but returns the TRUE total count, so the caller can detect buffer overflow
+// and retry with a larger buffer instead of silently dropping matches.
 int radius_matches(const float *src, int ns, int src_stride, const float *ref,
                    int nr, int ref_stride, const double *trans, float radius,
                    int32_t *out_pairs, int max_pairs) {
@@ -393,7 +395,7 @@ int radius_matches(const float *src, int ns, int src_stride, const float *ref,
           }
         }
   }
-  return std::min(count, max_pairs);
+  return count;
 }
 
 // Exact kNN (ascending distance) via kd-tree. idx (nq, k), dist sq (nq, k).

@@ -59,6 +59,18 @@ def test_radius_matches_scipy(rng):
     assert got == want
 
 
+def test_radius_matches_overflow_retries(rng):
+    # more matches than the initial buffer: the wrapper must detect the
+    # true count and retry instead of silently truncating
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    r = rng.normal(size=(150, 3)).astype(np.float32)
+    gt = np.eye(4)
+    full = native.radius_matches(q, r, gt, 1.0)
+    assert len(full) > 32
+    small = native.radius_matches(q, r, gt, 1.0, max_pairs=32)
+    assert set(map(tuple, small)) == set(map(tuple, full))
+
+
 def test_icp_recovers_pose(rng):
     cloud = rng.normal(size=(2000, 3)).astype(np.float32) * 3
     ang = 0.05
