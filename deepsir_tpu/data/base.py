@@ -18,11 +18,14 @@ contract:
 """
 from __future__ import annotations
 
+import logging
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
+
+_logger = logging.getLogger(__name__)
 
 from deepsir_tpu.config import Config
 from deepsir_tpu.data import transforms as T
@@ -61,6 +64,8 @@ class PairDataset:
         self._cache: Dict[int, tuple] = {}
         self._cache_lock = threading.Lock()
         self.cache_size = 500
+        self._truncated = 0             # GT-match-list truncation telemetry
+        self._truncated_frac = 0.0
 
     # ------------------------------------------------------------- subclass
 
@@ -125,6 +130,7 @@ class PairDataset:
     def get_sample(self, idx: int, rng: np.random.Generator) -> Dict:
         """One fully-augmented static-shape sample dict."""
         cloud0, cloud1, gt, meta = self._cached_pair(idx)
+        n0_raw, n1_raw = len(cloud0), len(cloud1)
         cloud0, cloud1, gt = self.augment_pair(rng, cloud0, cloud1, gt)
 
         sample: Dict = {
@@ -133,6 +139,16 @@ class PairDataset:
             "transform_gt": gt[:3, :].astype(np.float32),
             "meta": meta,
         }
+        if self.split != "train" and self.num_points > 0:
+            # the reference evaluates at NATURAL cloud sizes (its resample is
+            # train-only, data_base.py:271-283). Static shapes force an
+            # exact-size batch here, but fixed_resample pads small clouds by
+            # tiling with the original cloud as the prefix — so a validity
+            # mask (first n_raw rows) lets the matcher/Kabsch/loss/metrics
+            # ignore the duplicates and reproduce natural-size statistics.
+            n = self.num_points
+            sample["mask_src"] = (np.arange(n) < min(n0_raw, n)).astype(np.float32)
+            sample["mask_ref"] = (np.arange(n) < min(n1_raw, n)).astype(np.float32)
         if self.has_labels and self.label_column is not None:
             sample["labels_src"] = cloud0[:, self.label_column].astype(np.int32)
             sample["labels_ref"] = cloud1[:, self.label_column].astype(np.int32)
@@ -141,6 +157,21 @@ class PairDataset:
             matches = radius_matches_np(cloud0[:, :3], cloud1[:, :3], gt,
                                         self.thres_radius)
             padded, num = pad_matches(matches, self.max_matches)
+            if len(matches) > self.max_matches:
+                # truncated GT lists mislabel correct predictions whose
+                # source points fell past the cap (losses/align.py list
+                # path); surface it so max_matches can be raised
+                self._truncated += 1
+                self._truncated_frac = max(
+                    self._truncated_frac,
+                    1.0 - self.max_matches / len(matches))
+                if self._truncated in (1, 100, 10000):
+                    _logger.warning(
+                        "GT match list truncated on %d sample(s) so far "
+                        "(worst loss: %.1f%% of matches dropped); raise "
+                        "data.max_matches (%d) to avoid BCE mislabeling",
+                        self._truncated, 100 * self._truncated_frac,
+                        self.max_matches)
             sample["matches"] = padded
             sample["num_matches"] = num
         return sample
@@ -160,6 +191,9 @@ def make_pair_arrays(samples: List[Dict]) -> Dict[str, np.ndarray]:
     if "labels_src" in samples[0]:
         batch["labels_src"] = np.stack([s["labels_src"] for s in samples])
         batch["labels_ref"] = np.stack([s["labels_ref"] for s in samples])
+    if "mask_src" in samples[0]:
+        batch["mask_src"] = np.stack([s["mask_src"] for s in samples])
+        batch["mask_ref"] = np.stack([s["mask_ref"] for s in samples])
     if "matches" in samples[0]:
         batch["matches"] = np.stack([s["matches"] for s in samples])
         batch["num_matches"] = np.asarray([s["num_matches"] for s in samples],
@@ -198,10 +232,19 @@ class Loader:
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(self.seed + self.epoch).permutation(n)
-        self.epoch += 1
+        # bind the epoch locally so in-flight prefetch futures keep their own
+        # epoch even if the generator is abandoned or a second iterator is
+        # opened concurrently (both would otherwise read the mutated
+        # self.epoch at thread execution time and cross rng streams)
+        epoch = self.epoch = self.epoch + 1
 
         def fetch(i):
-            rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            # unshuffled (val/test) loaders derive sample rngs from
+            # (seed, idx) only, so every sweep sees identical augmentations
+            # and validation scores are comparable across sweeps; shuffled
+            # (train) loaders get a fresh stream per epoch
+            rng = np.random.default_rng(
+                (self.seed, epoch if self.shuffle else 0, int(i)))
             return self.dataset.get_sample(int(i), rng)
 
         ends = range(self.batch_size, n + 1, self.batch_size) if self.drop_last \

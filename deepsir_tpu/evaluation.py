@@ -173,12 +173,22 @@ def inference_align(loader, eval_step, params, cfg: Config,
     stats_rows = []
     endpoints_out: Dict[str, list] = defaultdict(list)
 
+    warmed = False
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         gt = arrays["transform_gt"]
         rot_trace = gt[:, 0, 0] + gt[:, 1, 1] + gt[:, 2, 2]
         total_rotation.append(np.degrees(np.arccos(
             np.clip(0.5 * (rot_trace - 1), -1 + _EPS, 1 - _EPS))))
+
+        if not warmed:
+            # untimed warm-up: the first call pays the XLA compile (minutes
+            # via the remote compile service), which would skew the first
+            # stats row and every aggregate; the reference times a pure
+            # torch forward (test.py:399-402) and the baseline script
+            # discards its warm-up pair for the same reason
+            jax.block_until_ready(eval_step(params, arrays)[0])
+            warmed = True
 
         t0 = time.perf_counter()
         transforms, out = eval_step(params, arrays)
@@ -232,7 +242,9 @@ def evaluate_align(pred_transforms: np.ndarray, loader, cfg: Config
             m = compute_metrics(batch["transform_gt"],
                                 pred_transforms[done:done + bs, i],
                                 src, ref, cfg.eval.rte_thresh,
-                                cfg.eval.rre_thresh, max_points=1024)
+                                cfg.eval.rre_thresh, max_points=1024,
+                                mask_src=batch.get("mask_src"),
+                                mask_ref=batch.get("mask_ref"))
             for k, v in m.items():
                 per_iter[i][k].append(v)
         done += bs
@@ -296,6 +308,8 @@ def inference_feat(loader, fwd_step, params, cfg: Config, save_path: str,
     count = 0
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if count == 0:           # untimed warm-up: exclude the XLA compile
+            jax.block_until_ready(fwd_step(params, arrays))
         t0 = time.perf_counter()
         out = jax.block_until_ready(fwd_step(params, arrays))
         total_time += time.perf_counter() - t0
@@ -329,6 +343,8 @@ def inference_label(loader, fwd_step, params, cfg: Config, save_path: str,
     count = 0
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if count == 0:           # untimed warm-up: exclude the XLA compile
+            jax.block_until_ready(fwd_step(params, arrays))
         t0 = time.perf_counter()
         out = jax.block_until_ready(fwd_step(params, arrays))
         total_time += time.perf_counter() - t0

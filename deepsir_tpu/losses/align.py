@@ -55,7 +55,9 @@ def scan_alignment_loss(transforms: jnp.ndarray,
                         gt_matches: Optional[jnp.ndarray],
                         cfg: LossConfig,
                         reduction: str = "mean",
-                        pt_ref: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+                        pt_ref: Optional[jnp.ndarray] = None,
+                        mask_src: Optional[jnp.ndarray] = None
+                        ) -> Dict[str, jnp.ndarray]:
     """Total alignment loss over the registration iterations.
 
     transforms:    (iters, B, 3, 4) cumulative predicted transforms
@@ -67,6 +69,9 @@ def scan_alignment_loss(transforms: jnp.ndarray,
     pt_ref:        (B, N, 3) reference points — when given, the BCE labels
                    come from a direct in-graph geometric test instead of the
                    match-list lookup (see below)
+    mask_src:      optional (B, N) validity mask for ragged clouds padded to
+                   the static size; per-point terms average over valid rows
+                   only (train batches are exactly resampled and pass None)
 
     BCE supervision: a predicted pair (i, pred_idx[i]) is "correct" iff
     |T_gt src_i - ref_{pred}| < thres_radius — the definition of a GT match
@@ -88,15 +93,23 @@ def scan_alignment_loss(transforms: jnp.ndarray,
     def red(x_per_sample):
         return jnp.mean(x_per_sample) if reduction == "mean" else x_per_sample
 
+    def point_mean(x):                                       # (B, N[, 3]) -> (B,)
+        axes = tuple(range(1, x.ndim))
+        if mask_src is None:
+            return jnp.mean(x, axis=axes)
+        m = jnp.broadcast_to(
+            mask_src if x.ndim == 2 else mask_src[..., None], x.shape)
+        return jnp.sum(x * m, axis=axes) / (jnp.sum(m, axis=axes) + 1e-12)
+
     # ---- point-distance term (loss.py:767-798)
     if cfg.wt_ptDist_loss > 0:
         gt_src = se3.transform(transform_gt, pt_src)                 # (B, N, 3)
         for i in range(num_iter):
             pred_src = se3.transform(transforms[i], pt_src)
             if cfg.loss_type == "mse":
-                per = jnp.mean((pred_src - gt_src) ** 2, axis=(-1, -2))
+                per = point_mean((pred_src - gt_src) ** 2)
             else:
-                per = jnp.mean(jnp.abs(pred_src - gt_src), axis=(-1, -2))
+                per = point_mean(jnp.abs(pred_src - gt_src))
             loss_dic[f"{cfg.loss_type}_{i}"] = red(per * cfg.wt_ptDist_loss)
     else:
         zeros = jnp.zeros(pt_src.shape[0])
@@ -120,7 +133,7 @@ def scan_alignment_loss(transforms: jnp.ndarray,
             logits = inlier_logits[i]
             bce = jnp.maximum(logits, 0) - logits * labels + \
                 jnp.log1p(jnp.exp(-jnp.abs(logits)))                 # (B, N)
-            loss_dic[f"outlier_{i}"] = red(jnp.mean(bce, axis=-1) * cfg.wt_inlier_loss)
+            loss_dic[f"outlier_{i}"] = red(point_mean(bce) * cfg.wt_inlier_loss)
 
     # ---- pose-error term (loss.py:830-842)
     if cfg.wt_pose_loss > 0:

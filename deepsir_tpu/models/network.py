@@ -15,7 +15,7 @@ the random-subsample pyramid trick depends on it, see ops/pyramid.py).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,12 @@ class PairBatch(NamedTuple):
     labels_ref: Optional[jnp.ndarray] = None
     matches: Optional[jnp.ndarray] = None      # (B, M_cap, 2) int32, -1 padded
     num_matches: Optional[jnp.ndarray] = None  # (B,)
+    # validity masks for ragged test-time clouds padded to the static size
+    # (1.0 = real point, 0.0 = tile-duplicate padding; None = all valid).
+    # The reference keeps natural sizes at test (data_base.py:271-283);
+    # masks recover its statistics under the TPU static-shape contract.
+    mask_src: Optional[jnp.ndarray] = None     # (B, N) float32
+    mask_ref: Optional[jnp.ndarray] = None
 
 
 class PairOutput(NamedTuple):
@@ -79,6 +85,12 @@ class ForwardOptions(NamedTuple):
 class Network(nn.Module):
     cfg: ModelConfig
     pipeline: str = "align"            # 'label' | 'feat' | 'align'
+    # optional correspondence-search override, (B,N,C),(B,M,C) -> (B,N) int32.
+    # Parameter-free, so params from a matcher-less Network load unchanged;
+    # the multi-chip path injects the ring-sharded matcher here
+    # (parallel.matching.make_ring_matcher) to split ref points over the
+    # mesh's model axis.
+    matcher: Optional[Callable] = None
 
     def setup(self):
         cfg = self.cfg
@@ -218,7 +230,8 @@ class Network(nn.Module):
             fs, fr = mdl.aggregation(xyz_src, xyz_ref, feat_src0, feat_ref0,
                                      score_src, score_ref)
             # correspondence search — integer output, no gradient flows
-            idx = nearest_neighbour_index(fs, fr)                 # (B, N)
+            match_fn = mdl.matcher or nearest_neighbour_index
+            idx = match_fn(fs, fr)                                # (B, N)
             xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
 
             # learned inlier confidence over concatenated pair coordinates
@@ -230,6 +243,12 @@ class Network(nn.Module):
             if opts.clip_weight and cfg.clip_weight_thresh > 0:
                 weights = jnp.where(weights < cfg.clip_weight_thresh,
                                     0.0, weights)
+            if batch.mask_src is not None:
+                # padded src rows are tile-duplicates of real points; zeroing
+                # their weight removes the double vote from the Kabsch solve
+                # (padded REF rows need no handling: a duplicate match target
+                # has identical coordinates, so the solve is unaffected)
+                weights = weights * batch.mask_src
 
             r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
 

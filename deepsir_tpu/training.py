@@ -114,7 +114,9 @@ def device_batch(cfg: Config, arrays: Dict[str, np.ndarray]) -> PairBatch:
         labels_src=jnp.asarray(arrays["labels_src"]) if "labels_src" in arrays else None,
         labels_ref=jnp.asarray(arrays["labels_ref"]) if "labels_ref" in arrays else None,
         matches=jnp.asarray(arrays["matches"]) if "matches" in arrays else None,
-        num_matches=jnp.asarray(arrays["num_matches"]) if "num_matches" in arrays else None)
+        num_matches=jnp.asarray(arrays["num_matches"]) if "num_matches" in arrays else None,
+        mask_src=jnp.asarray(arrays["mask_src"]) if "mask_src" in arrays else None,
+        mask_ref=jnp.asarray(arrays["mask_ref"]) if "mask_ref" in arrays else None)
 
 
 def compute_loss(cfg: Config, model: Network, params, batch: PairBatch,
@@ -128,7 +130,7 @@ def compute_loss(cfg: Config, model: Network, params, batch: PairBatch,
         loss_dic = scan_alignment_loss(
             transforms, out.inlier_logits, out.pred_idx, out.pt_src,
             batch.transform_gt, batch.matches, cfg.loss,
-            pt_ref=out.pt_ref)
+            pt_ref=out.pt_ref, mask_src=batch.mask_src)
         aux = {"loss": loss_dic["total"],
                "invalid": jnp.any(out.invalid)}
         return loss_dic["total"], aux

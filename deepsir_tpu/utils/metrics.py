@@ -35,17 +35,24 @@ def rte_rre(t_pred: np.ndarray, t_gt: np.ndarray,
 
 def compute_metrics(transform_gt, pred_transforms, points_src, points_ref,
                     rte_thresh: float, rre_thresh: float,
-                    points_raw=None, max_points: int = 2048) -> Dict[str, np.ndarray]:
+                    points_raw=None, max_points: int = 2048,
+                    mask_src=None, mask_ref=None) -> Dict[str, np.ndarray]:
     """Per-sample metric dict (reference metrics_util.compute_metrics).
 
     transform_gt/pred_transforms: (B, 3, 4)
     points_src/points_ref: (B, N, >=3); only the first max_points are used
     for the chamfer term (reference slices to 2048, metrics_util.py:36-37).
+    mask_src/mask_ref: optional (B, N) validity masks for clouds padded to
+    the static size by tile duplication (data layer). Duplicate points never
+    change the chamfer MINIMA (min over a multiset), so masking the outer
+    means reproduces the reference's natural-size statistics exactly.
     """
     g_gt = jnp.asarray(transform_gt)
     g_pr = jnp.asarray(pred_transforms)
     src = jnp.asarray(points_src)[:, :max_points, :3]
     ref = jnp.asarray(points_ref)[:, :max_points, :3]
+    m_src = None if mask_src is None else jnp.asarray(mask_src)[:, :max_points]
+    m_ref = None if mask_ref is None else jnp.asarray(mask_ref)[:, :max_points]
 
     # DCP-convention Euler / translation errors
     r_gt_euler = so3.dcm2euler(np.asarray(g_gt[:, :3, :3]), seq="xyz")
@@ -71,7 +78,11 @@ def compute_metrics(transform_gt, pred_transforms, points_src, points_ref,
     src_clean = se3.transform(inter, raw)
     dist_src = min_square_distance(src_transformed, raw)
     dist_ref = min_square_distance(ref, src_clean)
-    chamfer = jnp.mean(dist_src, axis=1) + jnp.mean(dist_ref, axis=1)
+    if m_src is None:
+        chamfer = jnp.mean(dist_src, axis=1) + jnp.mean(dist_ref, axis=1)
+    else:
+        chamfer = (jnp.sum(dist_src * m_src, axis=1) / jnp.sum(m_src, axis=1)
+                   + jnp.sum(dist_ref * m_ref, axis=1) / jnp.sum(m_ref, axis=1))
 
     return {
         "r_mse": r_mse, "r_mae": r_mae,
