@@ -98,6 +98,20 @@ def test_loader_batches():
     np.testing.assert_array_equal(b2["points_src"], batches[0]["points_src"])
 
 
+def test_val_sweeps_are_identical_across_epochs():
+    """Unshuffled (val/test) loaders derive sample rngs from (seed, idx)
+    only, so consecutive sweeps see identical augmented pairs and validation
+    scores are comparable across sweeps (VERDICT r1: Synthetic val pairs
+    used to re-rotate every sweep, making 'best' checkpoints incomparable)."""
+    ds = SyntheticPairs(TINY_CFG, "val", size=4)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
+    first = list(loader)
+    second = list(loader)
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["points_src"], b["points_src"])
+        np.testing.assert_array_equal(a["transform_gt"], b["transform_gt"])
+
+
 def test_test_split_is_deterministic():
     cfg = replace(TINY_CFG, pipeline="align")
     ds = SyntheticPairs(cfg, "test", size=3)

@@ -37,7 +37,7 @@ from deepsir_tpu.utils.profiling import enable_debug_mode, maybe_trace
 from deepsir_tpu.utils.timer import Timer
 
 
-def mesh_summary(writer, step, arrays, pred_transform):
+def mesh_summary(writer, step, arrays, pred_transform, tag="val_alignment"):
     """Dump aligned src (red) + ref (green) point meshes to tensorboard
     (reference save_summaries / validate_align mesh dumps,
     train.py:51-110,196-214)."""
@@ -49,8 +49,7 @@ def mesh_summary(writer, step, arrays, pred_transform):
     colors = np.concatenate([
         np.tile([[255, 0, 0]], (len(src), 1)),
         np.tile([[0, 255, 0]], (len(ref), 1))])[None]
-    writer.add_mesh("val_alignment", vertices=pts, colors=colors,
-                    global_step=step)
+    writer.add_mesh(tag, vertices=pts, colors=colors, global_step=step)
 
 
 def make_validate_step(cfg, model):
@@ -69,21 +68,36 @@ def validate(cfg, model, state, val_loader, logger, val_step,
         eval_step = val_step
         metrics = []
         worst = None                       # (err_t, arrays, transform)
+        rand_pick = None                   # uniformly random val sample
+        rng_pick = np.random.default_rng(step)
+        seen = 0
         for batch in val_loader:
             arrays = batch_arrays_only(batch)
             transforms, _ = eval_step(state.params, arrays)
             m = compute_metrics(arrays["transform_gt"],
                                 np.asarray(transforms[-1]),
                                 arrays["points_src"], arrays["points_ref"],
-                                cfg.train.rte_thresh, cfg.train.rre_thresh)
+                                cfg.train.rte_thresh, cfg.train.rre_thresh,
+                                mask_src=arrays.get("mask_src"),
+                                mask_ref=arrays.get("mask_ref"))
             metrics.append(m)
-            # track the worst sample for the mesh dump (the reference
-            # re-runs and dumps its worst validation sample, train.py:196-214)
+            # track the worst AND a uniformly-random sample for the mesh
+            # dumps (the reference dumps a random + its worst validation
+            # sample, train.py:196-214); reservoir step keeps the random
+            # pick uniform without knowing the sweep length up front
             i_bad = int(np.argmax(m["err_t"]))
             if worst is None or m["err_t"][i_bad] > worst[0]:
                 worst = (float(m["err_t"][i_bad]),
                          {k: v[i_bad:i_bad + 1] for k, v in arrays.items()},
                          np.asarray(transforms[-1])[i_bad:i_bad + 1])
+            bs = len(arrays["transform_gt"])
+            j = int(rng_pick.integers(seen + bs))
+            if j >= seen:
+                i_rand = j - seen
+                rand_pick = (
+                    {k: v[i_rand:i_rand + 1] for k, v in arrays.items()},
+                    np.asarray(transforms[-1])[i_rand:i_rand + 1])
+            seen += bs
         merged = {k: np.concatenate([m[k] for m in metrics])
                   for k in metrics[0]}
         summary = summarize_metrics(merged)
@@ -91,7 +105,10 @@ def validate(cfg, model, state, val_loader, logger, val_step,
                     summary["succ"], summary["err_r_deg_mean"],
                     summary["err_t_mean"])
         if writer is not None and worst is not None:
-            mesh_summary(writer, step, worst[1], worst[2])
+            mesh_summary(writer, step, worst[1], worst[2],
+                         tag="val_alignment_worst")
+            mesh_summary(writer, step, rand_pick[0], rand_pick[1],
+                         tag="val_alignment_random")
         return summary["succ"]
 
     fwd = val_step
