@@ -3,14 +3,16 @@
 Protocol mirrors the reference eval driver (/root/reference/test.py:56,384:
 batch 1, 18000 points, 5 registration iterations, inference mode), measured
 end-to-end INCLUDING the on-device KNN index-pyramid build (which the
-reference does on the host, untimed, in its collate_fn). Also probes a
-vmapped multi-pair batch — the TPU design's throughput mode — and reports
-the best pairs/sec.
+reference does on the host, untimed, in its collate_fn). Batch sizes 1/2/4
+are probed — bs 1 is the reference protocol, bs > 1 is the TPU design's
+batched throughput mode — and the best pairs/sec is the headline; the full
+sweep is recorded in the same JSON line. The persistent compile cache in
+.jax_cache/ amortizes the extra configs' compiles across driver rounds.
 
 Baseline: the reference's pure-model forward measured on this machine by
 scripts/measure_reference_baseline.py -> BASELINE_measured.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sweep"}.
 """
 from __future__ import annotations
 
@@ -22,8 +24,7 @@ import numpy as np
 
 N_POINTS = 18000
 N_ITERS = 5
-BATCHES = (1,)        # reference protocol; remote-compile latency makes
-                      # multi-config sweeps too slow for the driver window
+BATCHES = (1, 2, 4)
 TIMED_REPS = 3
 
 
@@ -40,8 +41,11 @@ def main():
     from deepsir_tpu.models import ForwardOptions, Network
     from deepsir_tpu.training import device_batch
 
+    # compute dtype knob for A/B runs (BASELINE.md fp32-vs-bf16 table);
+    # default fp32 = the validated flagship configuration
+    dtype = os.environ.get("DEEPSIR_BENCH_DTYPE", "float32")
     model_cfg = ModelConfig(feat_len=4, num_points=N_POINTS,
-                            num_reg_iter=N_ITERS)
+                            num_reg_iter=N_ITERS, compute_dtype=dtype)
     cfg = Config(pipeline="align", model=model_cfg)
 
     model = Network(cfg.model, pipeline="align")
@@ -74,6 +78,7 @@ def main():
 
     best = 0.0
     best_batch = 1
+    sweep = {}
     for i, batch in enumerate(BATCHES):
         # host numpy inputs in the timed loop: the relay's completion
         # signalling makes device-resident-input timings untrustworthy
@@ -92,6 +97,7 @@ def main():
                 raise                           # no silent zero-result bench
             break                               # e.g. HBM OOM at larger batch
         pps = batch / dt
+        sweep[f"bs{batch}"] = round(pps, 4)
         if pps > best:
             best, best_batch = pps, batch
 
@@ -108,6 +114,7 @@ def main():
         "value": round(best, 4),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(best / ref_pps, 2),
+        "sweep": sweep,
     }))
 
 

@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Staged training regimen on Synthetic pairs — the reference's full recipe
+# (train `label`, freeze, partial-restore into `feat`, freeze, partial-restore
+# into `align`; /root/reference/network/model.py:197-207) driven end-to-end
+# through the CLI with no dataset on disk. Produces the BASELINE.md
+# "end-to-end staged-training demonstration" numbers.
+#
+# Usage: scripts/staged_synthetic.sh [outdir] [extra flags for all stages...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OUT=${1:-./logs_staged}
+shift || true
+COMMON=(--dataset_type Synthetic --num_points 1024 --feat_len 3
+        --rot_mag 30 --trans_mag 1.0 -bs 8 --num_workers 4
+        --summary_every 100000 "$@")
+
+echo "=== stage 1: label ==="
+python train.py --pipeline label --logdir "$OUT" --name label \
+    --max_epochs "${LABEL_EPOCHS:-30}" -v 0 "${COMMON[@]}"
+LABEL_CKPT=$(ls -d "$OUT"/*label/ckpt | tail -1)
+
+echo "=== stage 2: feat (partial restore from label) ==="
+python train.py --pipeline feat --logdir "$OUT" --name feat \
+    --max_epochs "${FEAT_EPOCHS:-15}" -v 0 \
+    --resume "$LABEL_CKPT" "${COMMON[@]}"
+FEAT_CKPT=$(ls -d "$OUT"/*feat/ckpt | tail -1)
+
+echo "=== stage 3: align (partial restore from feat) ==="
+python train.py --pipeline align --logdir "$OUT" --name align \
+    --max_epochs "${ALIGN_EPOCHS:-60}" -v -5 \
+    --resume "$FEAT_CKPT" "${COMMON[@]}"
+ALIGN_CKPT=$(ls -d "$OUT"/*align/ckpt | tail -1)
+
+echo "=== eval: held-out synthetic test split ==="
+python test.py --pipeline align --eval_save_path "$OUT/eval" \
+    --resume "$ALIGN_CKPT/model_best.msgpack" \
+    --clip_weight_thresh "${CLIP_THRESH:-0.05}" "${COMMON[@]}"
+echo "=== done; summary: ==="
+cat "$OUT"/eval/*/summary_metrics.json
+
+# regression gate: the staged regimen must clear a held-out success floor
+python - "$OUT" "${SUCC_FLOOR:-0.85}" <<'EOF'
+import glob, json, sys
+path = sorted(glob.glob(f"{sys.argv[1]}/eval/*/summary_metrics.json"))[-1]
+succ = json.load(open(path))["succ"]
+floor = float(sys.argv[2])
+print(f"held-out success {succ:.3f} (floor {floor})")
+assert succ >= floor, f"staged regimen regressed: success {succ:.3f} < {floor}"
+EOF

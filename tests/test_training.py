@@ -50,6 +50,24 @@ def test_align_train_step_updates_only_inlier():
     assert not changed(p1["mlp_feat"], p0["mlp_feat"])
 
 
+def test_align_train_step_decreases_loss():
+    """Learned-align smoke: 12 steps on a fixed batch must reduce the
+    alignment loss (regression gate for the learned end-to-end path; the
+    full staged-quality floor runs on TPU via scripts/staged_synthetic.sh)."""
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg, n=2)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    tx = make_optimizer(cfg, 10)
+    step_fn = make_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(12):
+        rng, sub = jax.random.split(rng)
+        state, aux = step_fn(state, arrays, sub)
+        losses.append(float(aux["loss"]))
+    assert min(losses[-3:]) < losses[0], losses
+
+
 def test_label_train_step_decreases_loss():
     cfg = tiny_cfg("label")
     ds = SyntheticPairs(cfg, "train", size=1)
