@@ -1,0 +1,129 @@
+"""Profile the flagship align forward on the real chip and print the op-level
+time breakdown.
+
+Captures a jax.profiler trace around warmed-up forward calls, then parses the
+.xplane.pb directly (tensorboard is not available in this environment; the
+protobuf schema ships with tensorflow.tsl) and aggregates device self-time by
+HLO op category. This is the ONLY trustworthy per-op timing source here —
+wall-clocking individual jitted ops through the relay reports bogus sub-ms
+times (see CLAUDE.md).
+
+Usage: python scripts/profile_align.py [--points 18000] [--batch 1]
+       [--compute_dtype float32]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(args, trace_dir):
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from deepsir_tpu.config import Config, ModelConfig
+    from deepsir_tpu.models import ForwardOptions, Network
+    from deepsir_tpu.training import device_batch
+
+    cfg = Config(pipeline="align", model=ModelConfig(
+        feat_len=4, num_points=args.points, num_reg_iter=args.iters,
+        compute_dtype=args.compute_dtype))
+    model = Network(cfg.model, pipeline="align")
+    opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
+    rng = np.random.default_rng(0)
+    b, n = args.batch, args.points
+    arrays = {
+        "points_src": np.concatenate(
+            [rng.normal(size=(b, n, 3)).astype(np.float32) * 10,
+             rng.uniform(size=(b, n, 1)).astype(np.float32)], -1),
+        "points_ref": np.concatenate(
+            [rng.normal(size=(b, n, 3)).astype(np.float32) * 10,
+             rng.uniform(size=(b, n, 1)).astype(np.float32)], -1),
+        "transform_gt": np.tile(np.eye(3, 4, dtype=np.float32), (b, 1, 1)),
+    }
+    params = jax.jit(lambda r, a: model.init(r, device_batch(cfg, a), opts))(
+        jax.random.PRNGKey(0), arrays)
+
+    @jax.jit
+    def fwd(params, arrays):
+        batch = device_batch(cfg, arrays)
+        transforms, out = model.apply(params, batch, opts, train=False)
+        return transforms[-1], out.invalid
+
+    jax.block_until_ready(fwd(params, arrays))          # compile + warm
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(args.reps):
+        out = fwd(params, arrays)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+
+
+def summarize(trace_dir, reps):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {trace_dir}"
+    by_name = defaultdict(float)
+    total = 0.0
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name:
+                continue
+            ev_meta = plane.event_metadata
+            for line in plane.lines:
+                if "XLA Ops" not in line.name:
+                    continue
+                for ev in line.events:
+                    name = ev_meta[ev.metadata_id].name
+                    dur = ev.duration_ps / 1e12
+                    by_name[name] += dur
+                    total += dur
+    print(f"\ndevice op time total: {total / reps * 1e3:.2f} ms/call "
+          f"({reps} calls)")
+
+    def bucket(name):
+        for key in ("fusion", "dynamic-slice", "gather", "scatter", "dot",
+                    "convolution", "all-reduce", "copy", "transpose", "sort",
+                    "reduce", "custom-call", "select", "iota", "broadcast"):
+            if key in name:
+                return key
+        return name.split(".")[0]
+
+    by_bucket = defaultdict(float)
+    for name, dur in by_name.items():
+        by_bucket[bucket(name)] += dur
+    print("\n-- by op category --")
+    for name, dur in sorted(by_bucket.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{dur / total * 100:6.2f}%  {dur / reps * 1e3:9.3f} ms  {name}")
+    print("\n-- top individual ops --")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{dur / total * 100:6.2f}%  {dur / reps * 1e3:9.3f} ms  {name[:90]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=18000)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
+    args = ap.parse_args()
+    os.makedirs(args.trace_dir, exist_ok=True)
+    capture(args, args.trace_dir)
+    summarize(args.trace_dir, args.reps)
