@@ -39,7 +39,13 @@ def restore_pytree(path: str, target: Any) -> Any:
 
 def partial_restore(path: str, target_params: Any) -> Tuple[Any, int]:
     """Merge stored parameter leaves into `target_params` where the flattened
-    path exists and the shape matches. Returns (merged, num_loaded)."""
+    path exists and the shape matches. Returns (merged, num_loaded).
+
+    A directory resolves to its model_best.msgpack, like the reference's
+    CheckPointManager.load (common/torch_utils.py:120-126) and `load` above.
+    """
+    if os.path.isdir(path):
+        path = os.path.join(path, "model_best.msgpack")
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     stored = raw.get("state", raw)

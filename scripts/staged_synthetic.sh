@@ -12,24 +12,24 @@ cd "$(dirname "$0")/.."
 OUT=${1:-./logs_staged}
 shift || true
 COMMON=(--dataset_type Synthetic --num_points 1024 --feat_len 3
-        --rot_mag 30 --trans_mag 1.0 -bs 8 --num_workers 4
-        --summary_every 100000 "$@")
+        --rot_mag 30 --trans_mag 1.0 "$@")
+TRAIN=(-bs 8 --num_workers 4 --summary_every 100000)
 
 echo "=== stage 1: label ==="
 python train.py --pipeline label --logdir "$OUT" --name label \
-    --max_epochs "${LABEL_EPOCHS:-30}" -v 0 "${COMMON[@]}"
+    --max_epochs "${LABEL_EPOCHS:-30}" -v 0 "${COMMON[@]}" "${TRAIN[@]}"
 LABEL_CKPT=$(ls -d "$OUT"/*label/ckpt | tail -1)
 
 echo "=== stage 2: feat (partial restore from label) ==="
 python train.py --pipeline feat --logdir "$OUT" --name feat \
     --max_epochs "${FEAT_EPOCHS:-15}" -v 0 \
-    --resume "$LABEL_CKPT" "${COMMON[@]}"
+    --resume "$LABEL_CKPT" "${COMMON[@]}" "${TRAIN[@]}"
 FEAT_CKPT=$(ls -d "$OUT"/*feat/ckpt | tail -1)
 
 echo "=== stage 3: align (partial restore from feat) ==="
 python train.py --pipeline align --logdir "$OUT" --name align \
     --max_epochs "${ALIGN_EPOCHS:-60}" -v -5 \
-    --resume "$FEAT_CKPT" "${COMMON[@]}"
+    --resume "$FEAT_CKPT" "${COMMON[@]}" "${TRAIN[@]}"
 ALIGN_CKPT=$(ls -d "$OUT"/*align/ckpt | tail -1)
 
 echo "=== eval: held-out synthetic test split ==="
