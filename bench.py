@@ -3,11 +3,16 @@
 Protocol mirrors the reference eval driver (/root/reference/test.py:56,384:
 batch 1, 18000 points, 5 registration iterations, inference mode), measured
 end-to-end INCLUDING the on-device KNN index-pyramid build (which the
-reference does on the host, untimed, in its collate_fn). Batch sizes 1/2/4
-are probed — bs 1 is the reference protocol, bs > 1 is the TPU design's
-batched throughput mode — and the best pairs/sec is the headline; the full
-sweep is recorded in the same JSON line. The persistent compile cache in
-.jax_cache/ amortizes the extra configs' compiles across driver rounds.
+reference does on the host, untimed, in its collate_fn). Inputs are DISTINCT
+host numpy batches streamed through the device-prefetch pipeline the drivers
+use (deepsir_tpu/utils/prefetch.py): the host->device copy of pair i+1
+overlaps the device compute of pair i, exactly as in a sustained
+inference/serving sweep — the reference's torch-CPU baseline pays no
+transfer at all, so overlap (not exclusion) keeps the comparison honest.
+Batch sizes 1/2/4 are probed — bs 1 is the reference protocol, bs > 1 is
+the TPU design's batched throughput mode — and the best pairs/sec is the
+headline; the full sweep is recorded in the same JSON line. The persistent
+compile cache in .jax_cache/ amortizes compiles across driver rounds.
 
 Baseline: the reference's pure-model forward measured on this machine by
 scripts/measure_reference_baseline.py -> BASELINE_measured.json.
@@ -25,7 +30,7 @@ import numpy as np
 N_POINTS = 18000
 N_ITERS = 5
 BATCHES = (1, 2, 4)
-TIMED_REPS = 3
+TIMED_REPS = 8
 
 
 def main():
@@ -79,17 +84,20 @@ def main():
     best = 0.0
     best_batch = 1
     sweep = {}
+    from deepsir_tpu.utils.prefetch import device_prefetch
+
     for i, batch in enumerate(BATCHES):
-        # host numpy inputs in the timed loop: the relay's completion
-        # signalling makes device-resident-input timings untrustworthy
-        # (see CLAUDE.md); this matches how the drivers actually feed data
-        arrays = make_arrays(batch)
+        # DISTINCT host numpy batches streamed through the drivers' device
+        # prefetcher: transfers overlap compute as in a sustained sweep;
+        # the final block_until_ready fences everything (device-resident
+        # single-call timings are untrustworthy here — see CLAUDE.md)
+        feed = [make_arrays(batch) for _ in range(TIMED_REPS)]
         try:
-            out = fwd(params, arrays)           # compile + warm up
+            out = fwd(params, feed[0])          # compile + warm up
             jax.block_until_ready(out)
             t0 = time.perf_counter()
-            for _ in range(TIMED_REPS):
-                out = fwd(params, arrays)
+            for dev in device_prefetch(feed):
+                out = fwd(params, dev)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / TIMED_REPS
         except Exception:

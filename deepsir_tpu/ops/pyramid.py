@@ -50,7 +50,8 @@ def _build_single(xyz: jnp.ndarray, num_knn: int,
         neigh, _ = knn(pc, pc, num_knn, chunk=chunk,
                        recall_target=recall_target)          # (Nl, K)
         sub = pc[:n_next]                                    # random sample
-        up, _ = knn(pc, sub, 1, chunk=chunk)                 # (Nl, 1), exact
+        up, _ = knn(pc, sub, 1, chunk=chunk,
+                    recall_target=recall_target)             # (Nl, 1)
         xyzs.append(pc)
         neighs.append(neigh)
         pools.append(neigh[:n_next])                         # (N{l+1}, K)

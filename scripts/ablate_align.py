@@ -67,13 +67,18 @@ def main():
     params = jax.jit(lambda r, a: model.init(r, device_batch(cfg, a), opts))(
         jax.random.PRNGKey(0), arrays)
 
+    def readback(out):
+        # forced one-element readback barrier: block_until_ready returns
+        # early through the relay (async completion illusion, CLAUDE.md);
+        # pulling ONE element through the host is the only reliable fence
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[0])
+
     def timed(name, fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(out)
+        readback(fn(*a))                      # compile + warm
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = fn(*a)
-        jax.block_until_ready(out)
+            readback(fn(*a))
         dt = (time.perf_counter() - t0) / args.reps
         print(f"{name:12s} {dt * 1e3:8.2f} ms")
         return dt

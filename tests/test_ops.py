@@ -47,6 +47,20 @@ def test_knn_oracle(rng):
                                np.take_along_axis(d_full, want_idx, axis=-1), atol=1e-4)
 
 
+def test_knn_k_exceeds_ref_size(rng):
+    # tiny deepest pyramid levels (e.g. 256-pt clouds with 4x4x4x4 ratios
+    # leave 4 points) must pad by duplicating the farthest neighbour
+    q = rng.normal(size=(10, 3)).astype(np.float32)
+    r = rng.normal(size=(4, 3)).astype(np.float32)
+    idx, dist = ops.knn(jnp.asarray(q), jnp.asarray(r), k=16)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    assert idx.shape == (10, 16) and idx.max() < 4
+    np.testing.assert_array_equal(idx[:, 3:], np.tile(idx[:, 3:4], (1, 13)))
+    d_full = np.sum((q[:, None] - r[None]) ** 2, axis=-1)
+    np.testing.assert_array_equal(idx[:, :4],
+                                  np.argsort(d_full, axis=-1, kind="stable"))
+
+
 def test_knn_self_includes_self(rng):
     pc = rng.normal(size=(64, 3)).astype(np.float32)
     idx, dist = ops.knn(jnp.asarray(pc), jnp.asarray(pc), k=4)

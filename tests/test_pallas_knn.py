@@ -1,0 +1,96 @@
+"""Pallas fused distance+top-k KNN kernel vs exact numpy oracle.
+
+Runs in Pallas interpreter mode on the CPU test mesh (the real-TPU path is
+exercised by bench/profiling runs on hardware). The kernel quantizes
+selection keys to 8 mantissa bits, so assertions are recall floors and
+distance tolerances rather than exact index equality (ties within ~0.2%
+relative distance may legally swap)."""
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from deepsir_tpu.ops.pallas_knn import knn_topk, knn_topk_single, supported
+
+
+def _oracle(q, r):
+    return ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+
+
+def _recall(idx, oidx):
+    k = idx.shape[1]
+    return np.mean([len(set(idx[i]) & set(oidx[i])) / k
+                    for i in range(idx.shape[0])])
+
+
+@pytest.mark.parametrize("n,m,k", [(300, 1000, 16),    # single ref tile: exact
+                                   (257, 2048, 8),
+                                   (512, 5000, 16)])   # bucketed partial reduce
+def test_recall_and_distances(rng, n, m, k):
+    q = rng.normal(size=(n, 3)).astype(np.float32) * 10
+    r = rng.normal(size=(m, 3)).astype(np.float32) * 10
+    assert supported(m, 3, k)
+    with pltpu.force_tpu_interpret_mode():
+        idx, dist = knn_topk_single(q, r, k)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    d = _oracle(q, r)
+    oidx = np.argsort(d, axis=1)[:, :k]
+    floor = 0.99 if m <= 2048 else 0.95     # exact tile vs bucketed
+    assert _recall(idx, oidx) >= floor
+    # returned distances are the true distances quantized down <= 2^-9 rel
+    true_d = np.take_along_axis(d, idx, axis=1)
+    np.testing.assert_allclose(dist, true_d, rtol=5e-3, atol=1e-5)
+    assert np.all(np.diff(dist, axis=1) >= 0)           # ascending
+
+
+def test_k1_is_argmin(rng):
+    q = rng.normal(size=(300, 3)).astype(np.float32) * 10
+    r = rng.normal(size=(3000, 3)).astype(np.float32) * 10
+    with pltpu.force_tpu_interpret_mode():
+        idx, dist = knn_topk_single(q, r, 1)
+    d = _oracle(q, r)
+    # quantized ties may pick a different index but never a farther point
+    got = np.take_along_axis(d, np.asarray(idx), axis=1)[:, 0]
+    np.testing.assert_allclose(got, d.min(axis=1), rtol=5e-3, atol=1e-5)
+
+
+def test_self_knn_includes_self(rng):
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        idx, dist = knn_topk_single(pts, pts, 16)
+    idx = np.asarray(idx)
+    assert np.all(idx[:, 0] == np.arange(300))          # d=0, lowest index
+    assert np.allclose(np.asarray(dist)[:, 0], 0.0)
+
+
+def test_duplicate_points_get_distinct_indices(rng):
+    # tile-duplicated padded clouds produce exact distance ties; the packed
+    # index low bits keep keys unique so duplicates fill separate slots
+    base = rng.normal(size=(100, 3)).astype(np.float32)
+    r = np.concatenate([base, base, base], axis=0)       # every point x3
+    q = base[:50]
+    with pltpu.force_tpu_interpret_mode():
+        idx, dist = knn_topk_single(q, r, 4)
+    idx = np.asarray(idx)
+    for i in range(50):
+        assert len(set(idx[i].tolist())) == 4            # no slot collapse
+        # the three copies of the query point itself occupy the first slots
+        assert set(idx[i][:3].tolist()) == {i, i + 100, i + 200}
+
+
+def test_padded_ref_columns_never_win(rng):
+    src = rng.normal(size=(64, 3)).astype(np.float32) + 100.0
+    ref = rng.normal(size=(10, 3)).astype(np.float32) + 100.0
+    with pltpu.force_tpu_interpret_mode():
+        idx, _ = knn_topk_single(src, ref, 4)
+    assert np.asarray(idx).max() < 10
+
+
+def test_batched_matches_single(rng):
+    q = rng.normal(size=(2, 128, 3)).astype(np.float32)
+    r = rng.normal(size=(2, 500, 3)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        bi, bd = knn_topk(q, r, 8)
+        s0, _ = knn_topk_single(q[0], r[0], 8)
+        s1, _ = knn_topk_single(q[1], r[1], 8)
+    np.testing.assert_array_equal(np.asarray(bi),
+                                  np.stack([np.asarray(s0), np.asarray(s1)]))

@@ -33,6 +33,7 @@ from deepsir_tpu.training import (batch_arrays_only, create_train_state,
 from deepsir_tpu.utils.checkpoint import CheckPointManager, partial_restore
 from deepsir_tpu.utils.logging import prepare_logger
 from deepsir_tpu.utils.metrics import compute_metrics, summarize_metrics
+from deepsir_tpu.utils.prefetch import device_prefetch
 from deepsir_tpu.utils.profiling import enable_debug_mode, maybe_trace
 from deepsir_tpu.utils.timer import Timer
 
@@ -198,10 +199,12 @@ def main():
             f"{mesh.shape['data']} data-parallel devices")
         logger.info("Data parallel over mesh %s", dict(mesh.shape))
         state = replicate_state(mesh, state)
-        _step = make_sharded_train_step(cfg, model, tx, mesh)
-        train_step = lambda s, a, r: _step(s, shard_batch(mesh, a), r)
+        train_step = make_sharded_train_step(cfg, model, tx, mesh)
+        # prefetch transfer places each batch on the mesh ahead of time
+        batch_transfer = lambda arrays: shard_batch(mesh, arrays)
     else:
         train_step = make_train_step(cfg, model, tx)
+        batch_transfer = None
     val_step = make_validate_step(cfg, model)
     lr_sched = make_lr_schedule(cfg, steps_per_epoch)
 
@@ -215,8 +218,10 @@ def main():
     step = step0
     skipped = 0
     for epoch in range(cfg.train.max_epochs):
-        for batch in train_loader:
-            arrays = batch_arrays_only(batch)
+        # device-input double buffering: batch i+1 transfers (or shards, on
+        # a DP mesh) while batch i computes — see utils/prefetch.py
+        host_batches = (batch_arrays_only(b) for b in train_loader)
+        for arrays in device_prefetch(host_batches, transfer=batch_transfer):
             rng, sub = jax.random.split(rng)
             timer.tic()
             with maybe_trace(step):
