@@ -85,6 +85,41 @@ def test_padded_ref_columns_never_win(rng):
     assert np.asarray(idx).max() < 10
 
 
+def test_pyramid_via_pallas_matches_exact(rng, monkeypatch):
+    """The full index pyramid built through the Pallas dispatch (as on TPU)
+    must agree with the guaranteed-exact path: >= 95% neighbour overlap per
+    level (deviations are quantized near-ties) — pins the quality impact of
+    the approximate KNN on the structure the model actually consumes."""
+    import importlib
+    # NOTE: `import deepsir_tpu.ops.knn` resolves to the knn FUNCTION
+    # (re-exported by ops/__init__), not the module
+    knn_mod = importlib.import_module("deepsir_tpu.ops.knn")
+    from deepsir_tpu.ops.pyramid import build_pyramid
+
+    pts = rng.normal(size=(512, 3)).astype(np.float32) * 5
+    exact = build_pyramid(pts, num_knn=8, ratios=(4, 4), recall_target=1.0)
+
+    monkeypatch.setattr(knn_mod, "_on_tpu", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        approx = build_pyramid(pts, num_knn=8, ratios=(4, 4),
+                               recall_target=0.95)
+
+    for lvl in range(2):
+        a = np.asarray(approx.neigh_idx[lvl])
+        e = np.asarray(exact.neigh_idx[lvl])
+        overlap = np.mean([len(set(a[i]) & set(e[i])) / a.shape[1]
+                           for i in range(a.shape[0])])
+        assert overlap >= 0.95, (lvl, overlap)
+        # upsample index: any disagreement must be a genuine distance tie
+        ai = np.asarray(approx.interp_idx[lvl])
+        ei = np.asarray(exact.interp_idx[lvl])
+        sub = np.asarray(exact.xyz[lvl])[:exact.xyz[lvl].shape[0] // 4]
+        d = ((np.asarray(exact.xyz[lvl])[:, None] - sub[None]) ** 2).sum(-1)
+        got = np.take_along_axis(d, ai[:, None], 1)[:, 0]
+        want = np.take_along_axis(d, ei[:, None], 1)[:, 0]
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)
+
+
 def test_batched_matches_single(rng):
     q = rng.normal(size=(2, 128, 3)).astype(np.float32)
     r = rng.normal(size=(2, 500, 3)).astype(np.float32)
