@@ -20,7 +20,8 @@ def _build(cfg: Config, split: str) -> PairDataset:
         return Oxford(cfg, split)
     if ds == "Synthetic":
         from deepsir_tpu.data.synthetic import SyntheticPairs
-        return SyntheticPairs(cfg, split)
+        size = cfg.data.synthetic_train_size if split == "train" else None
+        return SyntheticPairs(cfg, split, size=size)
     raise NotImplementedError(ds)
 
 

@@ -119,21 +119,23 @@ class Network(nn.Module):
         """One RandLA pass: features + semantic logits for one cloud batch."""
         return self.feat_extractor(points, pyr, train=train)
 
+    def aggregate_side(self, xyz, feat, score):
+        """One cloud's fused descriptor: proj(mlp_feat(f) + mlp_att([xyz;s])),
+        L2-normalized (one side of reference Network.aggregation,
+        model.py:209-235)."""
+        f = self.mlp_feat(feat)
+        g = self.mlp_att(jnp.concatenate([xyz, score[..., None]], axis=-1))
+        f = self.mlp_proj(f + g).astype(jnp.float32)
+        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+
     def aggregation(self, xyz_src, xyz_ref, feat_src, feat_ref,
                     score_src, score_ref):
         """Fuse descriptor features with geometric context and L2-normalize.
 
         (reference Network.aggregation, model.py:209-235)
         """
-        fs = self.mlp_feat(feat_src)
-        fr = self.mlp_feat(feat_ref)
-        gs = self.mlp_att(jnp.concatenate([xyz_src, score_src[..., None]], axis=-1))
-        gr = self.mlp_att(jnp.concatenate([xyz_ref, score_ref[..., None]], axis=-1))
-        fs = self.mlp_proj(fs + gs).astype(jnp.float32)
-        fr = self.mlp_proj(fr + gr).astype(jnp.float32)
-        fs = fs / (jnp.linalg.norm(fs, axis=-1, keepdims=True) + 1e-12)
-        fr = fr / (jnp.linalg.norm(fr, axis=-1, keepdims=True) + 1e-12)
-        return fs, fr
+        return (self.aggregate_side(xyz_src, feat_src, score_src),
+                self.aggregate_side(xyz_ref, feat_ref, score_ref))
 
     # --------------------------------------------------------------- pipelines
 
@@ -222,13 +224,18 @@ class Network(nn.Module):
         score_src, score_ref = self.score_pair(
             batch, feat_src0, feat_ref0, logits_src, logits_ref)
 
+        # the ref cloud never moves, so its aggregated descriptor is
+        # iteration-invariant: compute it ONCE outside the loop (the
+        # reference recomputes both sides per iteration, model.py:552, with
+        # identical ref-side results every time)
+        fr = self.aggregate_side(xyz_ref, feat_ref0, score_ref)
+
         # every registration iteration runs the same subgraph with the same
         # weights, so it compiles ONCE as an nn.scan body (the reference
         # unrolls a python loop, model.py:551-601)
         def iter_body(mdl, carry, _):
             xyz_src, cum, invalid = carry
-            fs, fr = mdl.aggregation(xyz_src, xyz_ref, feat_src0, feat_ref0,
-                                     score_src, score_ref)
+            fs = mdl.aggregate_side(xyz_src, feat_src0, score_src)
             # correspondence search — integer output, no gradient flows
             match_fn = mdl.matcher or nearest_neighbour_index
             idx = match_fn(fs, fr)                                # (B, N)
