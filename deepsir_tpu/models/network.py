@@ -236,9 +236,13 @@ class Network(nn.Module):
         def iter_body(mdl, carry, _):
             xyz_src, cum, invalid = carry
             fs = mdl.aggregate_side(xyz_src, feat_src0, score_src)
-            # correspondence search — integer output, no gradient flows
-            match_fn = mdl.matcher or nearest_neighbour_index
-            idx = match_fn(fs, fr)                                # (B, N)
+            # correspondence search — integer output, no gradient flows;
+            # under bf16 compute the fused matcher also runs bf16 operands
+            if mdl.matcher is not None:
+                idx = mdl.matcher(fs, fr)                         # (B, N)
+            else:
+                lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+                idx = nearest_neighbour_index(fs, fr, low_precision=lp)
             xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
 
             # learned inlier confidence over concatenated pair coordinates

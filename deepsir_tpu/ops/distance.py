@@ -81,10 +81,10 @@ def _on_tpu() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("chunk", "method"))
+@partial(jax.jit, static_argnames=("chunk", "method", "low_precision"))
 def nearest_neighbour_index(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
-                            chunk: int = 2048,
-                            method: str = "auto") -> jnp.ndarray:
+                            chunk: int = 2048, method: str = "auto",
+                            low_precision: bool = False) -> jnp.ndarray:
     """Nearest ref index under squared-L2 for every src row.
 
     feat_src: (..., N, C); feat_ref: (..., M, C) -> (..., N) int32.
@@ -93,7 +93,9 @@ def nearest_neighbour_index(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
     (network/model.py:558-569) with a tiled sweep that never materializes
     the full N x M matrix. method: 'auto' uses the fused Pallas kernel on
     TPU (ops/pallas_match.py — 2.1x faster, near-tie rounding differences),
-    'xla' forces the exact highest-precision path.
+    'xla' forces the exact highest-precision path. low_precision feeds the
+    Pallas kernel bf16 operands (fp32 accumulation) — the bf16
+    compute_dtype path's matcher.
 
     Integer-output correspondence search carries no gradient (the reference
     matches under no_grad, model.py:558); stop_gradient also keeps autodiff
@@ -105,7 +107,8 @@ def nearest_neighbour_index(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
         from deepsir_tpu.ops import pallas_match
         if pallas_match.supported(feat_src.shape[-2], feat_ref.shape[-2],
                                   feat_src.shape[-1]):
-            fn = pallas_match.match_argmin_single
+            fn = partial(pallas_match.match_argmin_single,
+                         low_precision=low_precision)
             for _ in range(feat_src.ndim - 2):
                 fn = jax.vmap(fn, in_axes=(0, 0))
             return fn(feat_src, feat_ref)

@@ -78,13 +78,19 @@ def _pad_axis(x, axis, multiple, value=0.0):
     return jnp.pad(x, pad, constant_values=value)
 
 
-@jax.jit
-def match_argmin_single(src: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("low_precision",))
+def match_argmin_single(src: jnp.ndarray, ref: jnp.ndarray,
+                        low_precision: bool = False) -> jnp.ndarray:
     """(N, C) x (M, C) -> (N,) int32 nearest-ref index under squared L2.
 
     Pads internally: query rows are computed and sliced off; padded ref
     columns get +inf norms so they can never win; the feature dim is
     zero-padded to the lane width (adds nothing to the dot product).
+
+    low_precision=True feeds the MXU bf16 operands (fp32 accumulation,
+    fp32 |r|^2 correction): half the tile traffic and twice the MXU rate
+    for descriptors that are L2-normalized O(1 ) values — deviations are
+    near-tie swaps, the same class as the DEFAULT-precision note above.
     """
     n0, c = src.shape
     m0 = ref.shape[0]
@@ -95,6 +101,9 @@ def match_argmin_single(src: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     refT = _pad_axis(ref.T, 0, LANE)                         # (LANE, M)
     ref_sq = jnp.sum(ref * ref, axis=-1)
     ref_sq = jnp.where(jnp.arange(m) >= m0, jnp.inf, ref_sq)[None, :]
+    if low_precision:
+        src = src.astype(jnp.bfloat16)
+        refT = refT.astype(jnp.bfloat16)
 
     grid = (n // QUERY_BLOCK, m // REF_TILE)
     out = pl.pallas_call(

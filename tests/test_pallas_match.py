@@ -23,6 +23,21 @@ def test_matches_exact_oracle(rng, n, m, c):
     np.testing.assert_array_equal(got, want)
 
 
+def test_low_precision_matches_are_near_ties(rng):
+    # bf16-operand matching may only deviate on descriptors whose distances
+    # agree within bf16 rounding; on unit-norm features that means the
+    # matched distance is within ~1% of the true minimum
+    src = rng.normal(size=(256, 64)).astype(np.float32)
+    ref = rng.normal(size=(2048, 64)).astype(np.float32)
+    src /= np.linalg.norm(src, axis=1, keepdims=True)
+    ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(match_argmin_single(src, ref, low_precision=True))
+    d = ((src[:, None] - ref[None]) ** 2).sum(-1)
+    matched = np.take_along_axis(d, got[:, None], 1)[:, 0]
+    np.testing.assert_allclose(matched, d.min(1), atol=0.02)
+
+
 def test_padded_ref_columns_never_win(rng):
     # m not a multiple of the ref tile: the padded tail must be masked
     src = rng.normal(size=(64, 32)).astype(np.float32) + 100.0
