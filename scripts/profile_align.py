@@ -61,6 +61,9 @@ def capture(args, trace_dir):
         transforms, out = model.apply(params, batch, opts, train=False)
         return transforms[-1], out.invalid
 
+    # stage inputs on device BEFORE tracing: the trace then contains pure
+    # device compute, with no host-relay copy-start spans inflating totals
+    arrays = jax.device_put(arrays)
     jax.block_until_ready(fwd(params, arrays))          # compile + warm
     jax.profiler.start_trace(trace_dir)
     for _ in range(args.reps):

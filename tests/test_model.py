@@ -82,6 +82,27 @@ def test_forward_align_shapes_and_validity(rng):
     assert np.all(np.isfinite(np.asarray(transforms)))
 
 
+def test_forward_align_bf16_compute(rng):
+    """bfloat16 compute_dtype: params stay fp32, outputs stay fp32-finite,
+    and the recovered transforms agree with the fp32 path (same weights)
+    to activation-rounding tolerance."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg16 = dc_replace(TINY, compute_dtype="bfloat16")
+    m32 = Network(TINY, pipeline="align")
+    m16 = Network(cfg16, pipeline="align")
+    params = m32.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype in (jnp.float32, jnp.int32)
+    t32, _ = m32.apply(params, batch, ForwardOptions(num_iter=2))
+    t16, out16 = m16.apply(params, batch, ForwardOptions(num_iter=2))
+    assert t16.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(t16)))
+    # bf16 activations perturb matching/weights slightly; the pose solve on
+    # identical clouds must still land near the fp32 answer
+    np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=0.15)
+
+
 def test_forward_align_gradients_flow_to_inlier_net(rng):
     batch = make_batch(rng)
     model = Network(TINY, pipeline="align")
