@@ -13,11 +13,12 @@ per-tile candidate set into a running per-row top-k held in VMEM scratch.
 Only the points come in and only (N, k) indices/distances go out.
 
 Key packing: squared distances are non-negative, so their f32 bit pattern
-is order-preserving under int32 comparison. The low IDX_BITS bits of the
-key are replaced with the global ref index: one min-reduce then yields both
-the (quantized) distance and its argmin, and ties resolve to the lowest
-index (the XLA path's convention). Quantization keeps 8 mantissa bits
-(relative distance error <= 2^-9 ~ 0.2%), which can only reorder near-tied
+is order-preserving under int32 comparison. The low bits of the key are
+replaced with the global ref index (15 bits for M <= 32768, growing to 17
+at the 131072-ref cap): one min-reduce then yields both the (quantized)
+distance and its argmin, and ties resolve to the lowest index (the XLA
+path's convention). Quantization keeps 8 mantissa bits (relative distance
+error <= 2^-9 ~ 0.2%; 6 bits at the cap), which can only reorder near-tied
 neighbours — the same class of deviation as the ApproxTopK path the model
 already runs at recall_target 0.95.
 
@@ -42,20 +43,26 @@ from jax.experimental.pallas import tpu as pltpu
 QUERY_BLOCK = 256        # query rows per grid step
 REF_TILE = 2048          # ref columns per grid step
 DIM_PAD = 8              # xyz (or xyz+extras) padded to one sublane group
-IDX_BITS = 15            # low bits of the key hold the global ref index
-IDX_CAP = 1 << IDX_BITS  # max supported ref size (32768)
-_IDX_MASK = IDX_CAP - 1
-_KEY_MASK = np.int32(~_IDX_MASK)           # keep sign+exp+8 mantissa bits
+MIN_IDX_BITS = 15        # index width grows with M, up to MAX_IDX_BITS
+MAX_IDX_BITS = 17        # 131072 refs; keeps >= 6 mantissa bits in the key
 _KEY_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+def _idx_bits(m: int) -> int:
+    bits = MIN_IDX_BITS
+    while (1 << bits) < m:
+        bits += 1
+    return bits
 
 
 def supported(m: int, d: int, k: int) -> bool:
     """Ref size within index capacity, coords within one sublane group."""
-    return k <= m <= IDX_CAP and d <= DIM_PAD and 1 <= k <= 128
+    return k <= m <= (1 << MAX_IDX_BITS) and d <= DIM_PAD and 1 <= k <= 128
 
 
 def _knn_kernel(q_ref, rT_ref, idx_out, dist_out, cand_buf,
-                *, k: int, d_real: int, m_real: int, bucket_w: int):
+                *, k: int, d_real: int, m_real: int, bucket_w: int,
+                idx_mask: int):
     """Grid (i, j): query block i vs ref tile j; `cand_buf` persists over j.
 
     q_ref:    (QUERY_BLOCK, DIM_PAD) VMEM — query coords
@@ -80,7 +87,8 @@ def _knn_kernel(q_ref, rT_ref, idx_out, dist_out, cand_buf,
 
     gcol = j * REF_TILE + jax.lax.broadcasted_iota(
         jnp.int32, (QUERY_BLOCK, REF_TILE), 1)
-    key = (pltpu.bitcast(acc, jnp.int32) & _KEY_MASK) | gcol
+    key_mask = np.int32(~idx_mask)
+    key = (pltpu.bitcast(acc, jnp.int32) & key_mask) | gcol
     key = jnp.where(gcol >= m_real, _KEY_MAX, key)
 
     if bucket_w == REF_TILE:
@@ -105,8 +113,8 @@ def _knn_kernel(q_ref, rT_ref, idx_out, dist_out, cand_buf,
             mins.append(m)
             buf = jnp.where(buf == m, _KEY_MAX, buf)
         best = jnp.concatenate(mins, axis=1)         # (TQ, k) ascending
-        idx_out[:] = best & _IDX_MASK
-        dist_out[:] = pltpu.bitcast(best & _KEY_MASK, jnp.float32)
+        idx_out[:] = best & idx_mask
+        dist_out[:] = pltpu.bitcast(best & key_mask, jnp.float32)
 
 
 def _pad_axis(x, axis, multiple, value=0.0):
@@ -122,10 +130,10 @@ def _pad_axis(x, axis, multiple, value=0.0):
 def knn_topk_single(query: jnp.ndarray, ref: jnp.ndarray, k: int):
     """(N, D) x (M, D) -> (idx (N, k) int32, sq_dist (N, k) f32), ascending.
 
-    D <= 8, M <= 32768 (see `supported`). Distances are computed exactly in
-    f32 and quantized to 8 mantissa bits in the returned values / selection
-    keys. Selection is exact for M <= REF_TILE and ~0.99-recall bucketed
-    partial-reduce beyond that.
+    D <= 8, M <= 131072 (see `supported`). Distances are computed exactly
+    in f32 and quantized to 8 (>= 6 for M > 32768) mantissa bits in the
+    returned values / selection keys. Selection is exact for M <= REF_TILE
+    and ~0.99-recall bucketed partial-reduce beyond that.
     """
     n0, d = query.shape
     m0 = ref.shape[0]
@@ -141,7 +149,8 @@ def knn_topk_single(query: jnp.ndarray, ref: jnp.ndarray, k: int):
     # exact selection when the ref fits one tile; otherwise 128-wide buckets
     bucket_w = REF_TILE if grid[1] == 1 else 128
     kernel = partial(_knn_kernel, k=k, d_real=d, m_real=m0,
-                     bucket_w=bucket_w)
+                     bucket_w=bucket_w,
+                     idx_mask=(1 << _idx_bits(m)) - 1)
     idx, dist = pl.pallas_call(
         kernel,
         grid=grid,
