@@ -82,9 +82,10 @@ class DataConfig:
     num_workers: int = 8
     # fixed capacity for GT match lists (static shape for the inlier loss)
     max_matches: int = 30000
-    # Synthetic dataset train-split size (val/test stay fixed so quality
-    # numbers remain comparable across runs)
+    # Synthetic dataset split sizes (val stays fixed so training-time
+    # checkpoint scores remain comparable across runs)
     synthetic_train_size: int = 256
+    synthetic_eval_size: int = 32
 
     @property
     def thres_radius(self) -> float:
@@ -218,6 +219,7 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--xy_rot_scale", type=float, default=0.1)
     p.add_argument("--trans_mag", type=float, default=2.0)
     p.add_argument("--synthetic_train_size", type=int, default=256)
+    p.add_argument("--synthetic_eval_size", type=int, default=32)
     p.add_argument("--thres_radius", type=float, default=-1.0)
     p.add_argument("--det_loss_weight", type=float, default=1.0)
     p.add_argument("--chamfer_loss_weight", type=float, default=0.0)
@@ -295,7 +297,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         rot_mag=args.rot_mag, xy_rot_scale=args.xy_rot_scale,
         trans_mag=args.trans_mag, num_val=args.num_val,
         num_workers=getattr(args, "num_workers", 8),
-        synthetic_train_size=getattr(args, "synthetic_train_size", 256))
+        synthetic_train_size=getattr(args, "synthetic_train_size", 256),
+        synthetic_eval_size=getattr(args, "synthetic_eval_size", 32))
     loss = LossConfig(
         loss_type=args.loss_type, wt_ptDist_loss=args.wt_ptDist_loss,
         wt_inlier_loss=args.wt_inlier_loss, wt_pose_loss=args.wt_pose_loss,

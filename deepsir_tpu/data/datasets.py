@@ -20,7 +20,8 @@ def _build(cfg: Config, split: str) -> PairDataset:
         return Oxford(cfg, split)
     if ds == "Synthetic":
         from deepsir_tpu.data.synthetic import SyntheticPairs
-        size = cfg.data.synthetic_train_size if split == "train" else None
+        size = {"train": cfg.data.synthetic_train_size,
+                "test": cfg.data.synthetic_eval_size}.get(split)
         return SyntheticPairs(cfg, split, size=size)
     raise NotImplementedError(ds)
 

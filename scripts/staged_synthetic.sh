@@ -11,8 +11,14 @@ cd "$(dirname "$0")/.."
 
 OUT=${1:-./logs_staged}
 shift || true
+# THRES_RADIUS: positive-pair radius for the circle loss (feat) and the
+# inlier BCE (align). The KITTI-derived default (voxel 0.3 x 3 = 0.9) is
+# far looser than Synthetic's 0.01 jitter; 0.1 gives the descriptor and
+# inlier heads a discriminative signal and is what reaches the recorded
+# quality numbers (BASELINE.md).
 COMMON=(--dataset_type Synthetic --num_points 1024 --feat_len 3
-        --rot_mag 30 --trans_mag 1.0 "$@")
+        --rot_mag 30 --trans_mag 1.0
+        --thres_radius "${THRES_RADIUS:-0.1}" "$@")
 TRAIN=(-bs 8 --num_workers 4 --summary_every 100000)
 
 echo "=== stage 1: label ==="
@@ -22,19 +28,25 @@ LABEL_CKPT=$(ls -d "$OUT"/*label/ckpt | tail -1)
 
 echo "=== stage 2: feat (partial restore from label) ==="
 python train.py --pipeline feat --logdir "$OUT" --name feat \
-    --max_epochs "${FEAT_EPOCHS:-15}" -v 0 \
+    --max_epochs "${FEAT_EPOCHS:-20}" -v 0 \
     --resume "$LABEL_CKPT" "${COMMON[@]}" "${TRAIN[@]}"
 FEAT_CKPT=$(ls -d "$OUT"/*feat/ckpt | tail -1)
 
 echo "=== stage 3: align (partial restore from feat) ==="
+# validation runs with the same clip threshold the eval uses, so the best
+# checkpoint is selected under deployed conditions
 python train.py --pipeline align --logdir "$OUT" --name align \
-    --max_epochs "${ALIGN_EPOCHS:-60}" -v -5 \
+    --max_epochs "${ALIGN_EPOCHS:-40}" -v -2 \
+    --synthetic_train_size "${TRAIN_SIZE:-1024}" \
+    --num_train_reg_iter "${TRAIN_REG_ITERS:-3}" \
+    --clip_weight_thresh "${CLIP_THRESH:-0.05}" \
     --resume "$FEAT_CKPT" "${COMMON[@]}" "${TRAIN[@]}"
 ALIGN_CKPT=$(ls -d "$OUT"/*align/ckpt | tail -1)
 
-echo "=== eval: held-out synthetic test split ==="
+echo "=== eval: held-out synthetic test split (128 pairs) ==="
 python test.py --pipeline align --eval_save_path "$OUT/eval" \
     --resume "$ALIGN_CKPT/model_best.msgpack" \
+    --synthetic_eval_size "${EVAL_SIZE:-128}" \
     --clip_weight_thresh "${CLIP_THRESH:-0.05}" "${COMMON[@]}"
 echo "=== done; summary: ==="
 cat "$OUT"/eval/*/summary_metrics.json
