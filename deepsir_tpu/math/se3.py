@@ -63,20 +63,30 @@ def to_4x4(g: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([g[..., :3, :], bottom], axis=-2)
 
 
-def rotation_error_rad(r1: jnp.ndarray, r2: jnp.ndarray, eps: float = 1e-16) -> jnp.ndarray:
+def rotation_error_rad(r1: jnp.ndarray, r2: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Geodesic rotation error arccos((tr(R1^T R2) - 1)/2) in radians.
 
     (reference network/loss.py:244-253)
     r1, r2: (..., 3, 3)
+
+    eps must be resolvable in fp32 (1.0 - 1e-16 == 1.0 exactly, which put
+    the clip bound AT the arccos singularity: perfectly-aligned rotations
+    produced inf gradients and the NaN-guard skipped the training step).
     """
     trace = jnp.einsum("...ij,...ij->...", r1, r2)
     cos = jnp.clip((trace - 1.0) * 0.5, -1.0 + eps, 1.0 - eps)
     return jnp.arccos(cos)
 
 
-def translation_error(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
-    """L2 translation error (..., 3) -> (...)."""
-    return jnp.linalg.norm(t1 - t2, axis=-1)
+def translation_error(t1: jnp.ndarray, t2: jnp.ndarray,
+                      eps: float = 1e-12) -> jnp.ndarray:
+    """L2 translation error (..., 3) -> (...).
+
+    sqrt(sum^2 + eps) instead of jnp.linalg.norm: the norm's gradient is
+    NaN at exactly-zero residuals (pred == gt), which the pose loss hits.
+    """
+    d = t1 - t2
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + eps)
 
 
 def pose_error(g_gt: jnp.ndarray, g_pred: jnp.ndarray, eps: float = 1e-16):

@@ -43,6 +43,21 @@ def test_pose_error_zero_for_identical(rng):
     assert np.all(np.asarray(err_t) < 1e-6)
 
 
+def test_error_gradients_finite_at_perfect_alignment():
+    """The pose-loss terms must have finite gradients when pred == gt —
+    arccos at the clip boundary and norm-of-zero both blow up otherwise
+    (this silently NaN-skipped every training step under wt_pose_loss)."""
+    import jax
+
+    def loss(r, t):
+        return jnp.sum(se3.rotation_error_rad(r, jnp.eye(3))) + \
+            jnp.sum(se3.translation_error(t, jnp.zeros(3)))
+
+    gr, gt = jax.grad(loss, argnums=(0, 1))(jnp.eye(3), jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(gr)))
+    assert np.all(np.isfinite(np.asarray(gt)))
+
+
 def test_pose_error_known_rotation():
     g1 = np.eye(3, 4)[None]
     rot = Rotation.from_euler("z", 30, degrees=True).as_matrix()
