@@ -27,9 +27,9 @@ import time
 
 import numpy as np
 
-N_POINTS = 18000
+N_POINTS = int(os.environ.get("DEEPSIR_BENCH_POINTS", 18000))
 N_ITERS = 5
-BATCHES = (1, 2, 4)
+BATCHES = (1, 2, 4) if N_POINTS <= 18000 else (1,)
 TIMED_REPS = 8
 
 
