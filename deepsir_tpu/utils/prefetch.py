@@ -43,26 +43,43 @@ def device_prefetch(iterable: Iterable, size: int = 2,
         transfer = _transfer
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator, so the worker never blocks forever holding device
+        # buffers
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(_Ok(transfer(item)))
+                if not put(_Ok(transfer(item))):
+                    return
         except BaseException as exc:   # noqa: BLE001 — re-raised at consumer
-            q.put(_Err(exc))
+            put(_Err(exc))
             return
-        q.put(sentinel)
+        put(sentinel)
 
     thread = threading.Thread(target=worker, daemon=True,
                               name="device-prefetch")
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, _Err):
-            raise item.exc
-        yield item.value
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, _Err):
+                raise item.exc
+            yield item.value
+    finally:
+        stop.set()
 
 
 class _Ok:

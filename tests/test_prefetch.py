@@ -36,3 +36,28 @@ def test_source_exception_propagates():
 
 def test_empty_source():
     assert list(device_prefetch([])) == []
+
+
+def test_abandoned_consumer_releases_worker():
+    import threading
+    import time
+
+    started = threading.Event()
+
+    def gen():
+        for i in range(100):
+            started.set()
+            yield i
+
+    it = device_prefetch(gen(), size=1)
+    assert next(it) == 0
+    started.wait(2)
+    it.close()                                  # abandon mid-stream
+    def worker_alive():
+        return any(t.name == "device-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+
+    deadline = time.time() + 3
+    while time.time() < deadline and worker_alive():
+        time.sleep(0.05)
+    assert not worker_alive()
