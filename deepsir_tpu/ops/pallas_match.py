@@ -21,7 +21,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QUERY_BLOCK = 512        # rows of src per grid step
+QUERY_BLOCK = 512        # rows of src per grid step. 1024 halves the
+                         # ref-tile reload traffic but measured SLOWER
+                         # end-to-end on v5e (14.8 vs 15.3 pairs/sec — the
+                         # 8 MB distance intermediate crowds VMEM and
+                         # stalls the input pipeline); keep 512
 REF_TILE = 2048          # columns of ref per grid step
 LANE = 128               # feature dim padded to the f32 lane width
 
