@@ -30,7 +30,8 @@ import numpy as np
 N_POINTS = int(os.environ.get("DEEPSIR_BENCH_POINTS", 18000))
 N_ITERS = 5
 BATCHES = (1, 2, 4) if N_POINTS <= 18000 else (1,)
-TIMED_REPS = 8
+TIMED_REPS = 16          # ~1 s of timed work per config; the relay link
+                         # adds +-1 pair/sec of jitter at 8 reps
 
 
 def main():
