@@ -99,7 +99,11 @@ def main():
             t0 = time.perf_counter()
             for dev in device_prefetch(feed):
                 out = fwd(params, dev)
-            jax.block_until_ready(out)
+            # forced one-element readback: block_until_ready on a small
+            # output can return before the last pairs finish through the
+            # relay (async completion illusion, CLAUDE.md); one element
+            # through the host is a reliable fence, negligible over 16 reps
+            jax.device_get(out[0].ravel()[0])
             dt = (time.perf_counter() - t0) / TIMED_REPS
         except Exception:
             if i == 0:
@@ -123,6 +127,12 @@ def main():
         "value": round(best, 4),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(best / ref_pps, 2),
+        # the reference runs nowhere but CPU in this environment, so the
+        # ratio is TPU-v5e vs torch-CPU — self-describing so the artifact
+        # is not over-credited as a GPU comparison (BASELINE.md)
+        "baseline": {"impl": "reference torch forward, CPU (only hardware "
+                             "it runs on here)",
+                     "pairs_per_sec": ref_pps},
         "sweep": sweep,
     }))
 

@@ -201,7 +201,11 @@ def inference_align(loader, eval_step, params, cfg: Config,
 
         t0 = time.perf_counter()
         transforms, out = eval_step(params, dev_arrays)
-        transforms = jax.block_until_ready(transforms)
+        # forced one-element readback barrier: block_until_ready on a small
+        # output returns early through the relay (async completion illusion,
+        # CLAUDE.md) and would undercount per-pair device compute; pulling
+        # ONE element through the host is the only reliable fence
+        jax.device_get(transforms[-1].ravel()[0])
         dt = time.perf_counter() - t0
         total_time += dt
 

@@ -93,6 +93,12 @@ def pose_error(g_gt: jnp.ndarray, g_pred: jnp.ndarray, eps: float = 1e-16):
     """Residual rotation (degrees) and translation magnitude of inv(gt) @ pred.
 
     (reference network/loss.py:266-277, common/metrics_util.py:56-62)
+
+    METRICS-ONLY — must not be differentiated: the default eps=1e-16 is
+    unresolvable in fp32 (1.0 - 1e-16 == 1.0), putting the clip bound AT the
+    arccos singularity, where the gradient is inf. It is kept at 1e-16 here
+    so the forward metric value matches the reference bit-for-bit; any
+    differentiated pose error must use rotation_error_rad (eps=1e-6).
     """
     residual = concatenate(inverse(g_gt), g_pred)
     rot_trace = residual[..., 0, 0] + residual[..., 1, 1] + residual[..., 2, 2]

@@ -85,7 +85,10 @@ def icp(src: jnp.ndarray, tgt: jnp.ndarray, max_corr_dist: float,
 
     def body(_, transform):
         src_t = se3.transform(transform, src)
-        idx, sq = knn(src_t, tgt, 1, chunk=chunk)
+        # recall_target=1.0: the sq < max_corr_dist**2 inlier gate consumes
+        # these distances directly, so the quantized (8-mantissa-bit,
+        # truncated-down) Pallas k=1 path is not acceptable here
+        idx, sq = knn(src_t, tgt, 1, chunk=chunk, recall_target=1.0)
         matched = tgt[idx[:, 0]]
         w = (sq[:, 0] < max_corr_dist ** 2).astype(src.dtype)
         delta, _ = weighted_kabsch(src_t[None], matched[None], w[None])

@@ -72,6 +72,11 @@ def _knn_single(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int,
     return idx, jnp.maximum(dist, 0.0)
 
 
+# measured recall floor of the fused Pallas kernel (ops/pallas_knn.py);
+# requests above this are routed to ApproxTopK, which honors the target
+_PALLAS_RECALL_FLOOR = 0.98
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
@@ -90,8 +95,13 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int = 1024,
     recall_target < 1.0 selects the TPU fast paths (fused Pallas kernel for
     low-D points, else ApproxTopK — exact on CPU, recall ~0.98+ on TPU);
     pass 1.0 for guaranteed-exact. k=1 on the XLA paths is a plain argmin.
+
+    The Pallas kernel runs at a FIXED measured recall (~0.98-0.999, distances
+    quantized to 8 mantissa bits), so it only serves requests that tolerate
+    that floor (recall_target <= 0.98); callers asking for 0.98 < target < 1
+    get ApproxTopK at their requested target instead.
     """
-    if recall_target < 1.0 and _on_tpu():
+    if recall_target <= _PALLAS_RECALL_FLOOR and _on_tpu():
         from deepsir_tpu.ops import pallas_knn
         if pallas_knn.supported(ref.shape[-2], query.shape[-1], k):
             return pallas_knn.knn_topk(query, ref, k)

@@ -127,6 +127,12 @@ if __name__ == "__main__":
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()
+    # ALWAYS start from an empty dir: summarize() sums every xplane file it
+    # finds recursively, so stale traces from previous runs would silently
+    # inflate and pollute the breakdown (observed: a round-2 bf16 ablation
+    # trace doubling every scan and adding bf16 ops to an fp32 profile)
+    import shutil
+    shutil.rmtree(args.trace_dir, ignore_errors=True)
     os.makedirs(args.trace_dir, exist_ok=True)
     capture(args, args.trace_dir)
     summarize(args.trace_dir, args.reps)
