@@ -47,6 +47,16 @@ class ModelConfig:
     num_train_reg_iter: int = 2
     num_reg_iter: int = 5
     clip_weight_thresh: float = 0.0
+    # Opt-in iteration-drift fix (BASELINE.md iteration-stability finding):
+    # re-solve the pose each iteration ABSOLUTELY from the ORIGINAL source
+    # points to the freshly matched refs instead of composing per-iteration
+    # increments (the reference's scheme, model.py:590-595). Matching and the
+    # inlier network are unchanged (they still see the moved source), so the
+    # flag is parameter-free and applies to existing checkpoints at eval.
+    # Incremental composition compounds each iteration's small solve bias
+    # (~0.4 deg/iter past the trained depth); the absolute solve cannot
+    # compound. Default False = reference-faithful.
+    absolute_pose_solve: bool = False
     # sinkhorn variant (kept for API parity with the reference's RPM-style path)
     no_slack: bool = False
     num_sk_iter: int = 5
@@ -82,10 +92,21 @@ class DataConfig:
     num_workers: int = 8
     # fixed capacity for GT match lists (static shape for the inlier loss)
     max_matches: int = 30000
+    # ship host-computed GT match lists and use the list-based BCE labels
+    # (the reference's scheme, loss.py:723-749). Default off: the in-graph
+    # geometric membership test (losses/align.py) is exact for every point
+    # and costs no host KDTree time or relay transfer (~240 KB/step); the
+    # list path stays as the cross-checkable alternative
+    gt_match_lists: bool = False
     # Synthetic dataset split sizes (val stays fixed so training-time
     # checkpoint scores remain comparable across runs)
     synthetic_train_size: int = 256
     synthetic_eval_size: int = 32
+    # Synthetic difficulty knobs: per-point gaussian noise sigma and the
+    # half-space crop keep fraction (<1.0 = partial-overlap pairs) — the
+    # robustness rung beyond the full-overlap training regime
+    synthetic_noise: float = 0.01
+    synthetic_p_keep: float = 1.0
 
     @property
     def thres_radius(self) -> float:
@@ -220,7 +241,13 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--trans_mag", type=float, default=2.0)
     p.add_argument("--synthetic_train_size", type=int, default=256)
     p.add_argument("--synthetic_eval_size", type=int, default=32)
+    p.add_argument("--synthetic_noise", type=float, default=0.01)
+    p.add_argument("--synthetic_p_keep", type=float, default=1.0)
     p.add_argument("--thres_radius", type=float, default=-1.0)
+    p.add_argument("--gt_match_lists", type=str2bool, default=False,
+                   help="use host-computed GT match lists for the inlier BCE "
+                        "(the reference's scheme) instead of the exact "
+                        "in-graph geometric labels")
     p.add_argument("--det_loss_weight", type=float, default=1.0)
     p.add_argument("--chamfer_loss_weight", type=float, default=0.0)
     p.add_argument("--feat_loss_weight", type=float, default=0.0)
@@ -229,6 +256,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wt_inlier_loss", type=float, default=1.0)
     p.add_argument("--wt_pose_loss", type=float, default=0.0)
     p.add_argument("--clip_weight_thresh", type=float, default=0.0)
+    p.add_argument("--absolute_pose_solve", type=str2bool, default=False,
+                   help="re-solve the pose absolutely from the original "
+                        "source each iteration (iteration-drift fix) instead "
+                        "of composing increments (reference behavior)")
     p.add_argument("--loss_discount_factor", type=float, default=0.5)
     p.add_argument("--no_slack", action="store_true")
     p.add_argument("--num_sk_iter", type=int, default=5)
@@ -288,7 +319,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         out_feat_dim=args.out_feat_dim, compute_dtype=args.compute_dtype,
         knn_recall_target=getattr(args, "knn_recall_target", 0.95),
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,
-        clip_weight_thresh=args.clip_weight_thresh, no_slack=args.no_slack,
+        clip_weight_thresh=args.clip_weight_thresh,
+        absolute_pose_solve=getattr(args, "absolute_pose_solve", False),
+        no_slack=args.no_slack,
         num_sk_iter=args.num_sk_iter)
     data = DataConfig(
         dataset_path=args.dataset_path, dataset_type=args.dataset_type,
@@ -297,8 +330,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
         rot_mag=args.rot_mag, xy_rot_scale=args.xy_rot_scale,
         trans_mag=args.trans_mag, num_val=args.num_val,
         num_workers=getattr(args, "num_workers", 8),
+        gt_match_lists=getattr(args, "gt_match_lists", False),
         synthetic_train_size=getattr(args, "synthetic_train_size", 256),
-        synthetic_eval_size=getattr(args, "synthetic_eval_size", 32))
+        synthetic_eval_size=getattr(args, "synthetic_eval_size", 32),
+        synthetic_noise=getattr(args, "synthetic_noise", 0.01),
+        synthetic_p_keep=getattr(args, "synthetic_p_keep", 1.0))
     loss = LossConfig(
         loss_type=args.loss_type, wt_ptDist_loss=args.wt_ptDist_loss,
         wt_inlier_loss=args.wt_inlier_loss, wt_pose_loss=args.wt_pose_loss,

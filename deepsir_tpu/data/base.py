@@ -153,7 +153,13 @@ class PairDataset:
             sample["labels_src"] = cloud0[:, self.label_column].astype(np.int32)
             sample["labels_ref"] = cloud1[:, self.label_column].astype(np.int32)
 
-        if self.pipeline == "align" and self.split in ("train", "val"):
+        if (self.pipeline == "align" and self.split in ("train", "val")
+                and self.cfg.data.gt_match_lists):
+            # list-based BCE labels only: by default the align loss labels
+            # correspondences with the exact in-graph geometric test
+            # (losses/align.py), so computing + shipping the host KDTree
+            # match list here would be dead work (~240 KB/step through the
+            # 27 MB/s relay for an array the loss never reads)
             matches = radius_matches_np(cloud0[:, :3], cloud1[:, :3], gt,
                                         self.thres_radius)
             padded, num = pad_matches(matches, self.max_matches)

@@ -91,6 +91,13 @@ class Network(nn.Module):
     # (parallel.matching.make_ring_matcher) to split ref points over the
     # mesh's model axis.
     matcher: Optional[Callable] = None
+    # stop_gradient at the staged-freeze boundary (reference requires_grad
+    # freeze, model.py:197-207): the feat pipeline trains only the
+    # aggregation MLPs and align only the inlier model, so backward through
+    # the frozen RandLA backbone(s) is pure waste — the optax set_to_zero
+    # mask (training.py) would discard those grads anyway. False only for
+    # the equivalence test (tests/test_training.py).
+    stop_frozen_gradients: bool = True
 
     def setup(self):
         cfg = self.cfg
@@ -180,6 +187,14 @@ class Network(nn.Module):
 
         feat_src, logits_src, feat_ref, logits_ref, _, _ = \
             self.backbone_pair(batch, train)
+        if self.pipeline == "feat" and self.stop_frozen_gradients:
+            # the feat stage trains only mlp_feat/att/proj over a FROZEN
+            # backbone; without this the circle/detector loss backward
+            # traverses both RandLA passes for gradients the freeze mask
+            # then zeroes
+            feat_src, logits_src, feat_ref, logits_ref = map(
+                jax.lax.stop_gradient,
+                (feat_src, logits_src, feat_ref, logits_ref))
         xyz_src = batch.points_src[..., :3]
         xyz_ref = batch.points_ref[..., :3]
 
@@ -229,6 +244,14 @@ class Network(nn.Module):
         # reference recomputes both sides per iteration, model.py:552, with
         # identical ref-side results every time)
         fr = self.aggregate_side(xyz_ref, feat_ref0, score_ref)
+        stop_frozen = self.stop_frozen_gradients
+        if stop_frozen:
+            # align trains ONLY the inlier model; descriptors feed the
+            # integer correspondence search (no gradient) so stopping here
+            # kills the backward through backbone + aggregation MLPs that
+            # the freeze mask would discard (reference freeze_model_2,
+            # model.py:201-207)
+            fr = jax.lax.stop_gradient(fr)
 
         # every registration iteration runs the same subgraph with the same
         # weights, so it compiles ONCE as an nn.scan body (the reference
@@ -236,6 +259,8 @@ class Network(nn.Module):
         def iter_body(mdl, carry, _):
             xyz_src, cum, invalid = carry
             fs = mdl.aggregate_side(xyz_src, feat_src0, score_src)
+            if stop_frozen:
+                fs = jax.lax.stop_gradient(fs)
             # correspondence search — integer output, no gradient flows;
             # under bf16 compute the fused matcher also runs bf16 operands
             if mdl.matcher is not None:
@@ -261,11 +286,18 @@ class Network(nn.Module):
                 # has identical coordinates, so the solve is unaffected)
                 weights = weights * batch.mask_src
 
-            r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
-
-            # move the source by the (gradient-detached) increment
-            xyz_src = se3.transform(jax.lax.stop_gradient(r_t), xyz_src)
-            cum = se3.concatenate(r_t, cum)
+            if cfg.absolute_pose_solve:
+                # drift fix (opt-in): solve the ORIGINAL source onto the
+                # matched refs directly — per-iteration solve bias cannot
+                # compound across iterations (see ModelConfig docstring)
+                cum, bad = weighted_kabsch(xyz_src0, xyz_ref_new, weights)
+                xyz_src = se3.transform(jax.lax.stop_gradient(cum), xyz_src0)
+            else:
+                # reference scheme: incremental delta composed onto the
+                # running pose (model.py:590-595)
+                r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
+                xyz_src = se3.transform(jax.lax.stop_gradient(r_t), xyz_src)
+                cum = se3.concatenate(r_t, cum)
             return (xyz_src, cum, invalid | bad), (cum, inlier_logit, idx)
 
         b = xyz_src0.shape[:-2]

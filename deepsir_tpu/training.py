@@ -127,12 +127,20 @@ def compute_loss(cfg: Config, model: Network, params, batch: PairBatch,
     if cfg.pipeline == "align":
         transforms, out = model.apply(params, batch, opts, train=train,
                                       rngs=rngs)
+        # BCE label source: exact in-graph geometric test by default;
+        # cfg.data.gt_match_lists selects the reference's list-based lookup
+        # (the data layer ships `matches` only in that mode)
+        use_lists = cfg.data.gt_match_lists and batch.matches is not None
         loss_dic = scan_alignment_loss(
             transforms, out.inlier_logits, out.pred_idx, out.pt_src,
             batch.transform_gt, batch.matches, cfg.loss,
-            pt_ref=out.pt_ref, mask_src=batch.mask_src)
+            pt_ref=None if use_lists else out.pt_ref,
+            mask_src=batch.mask_src)
         aux = {"loss": loss_dic["total"],
-               "invalid": jnp.any(out.invalid)}
+               "invalid": jnp.any(out.invalid),
+               # per-iteration loss terms for train-time summaries
+               # (reference save_summaries scalars, train.py:51-110)
+               "losses": {k: v for k, v in loss_dic.items() if k != "total"}}
         return loss_dic["total"], aux
 
     _, out = model.apply(params, batch, train=train, rngs=rngs)

@@ -15,7 +15,8 @@ TINY_CFG = Config(
     pipeline="align",
     model=ModelConfig(feat_len=3, num_points=256, num_knn=8,
                       sub_sampling_ratio=(4, 4), d_out=(8, 16), out_feat_dim=16),
-    data=DataConfig(dataset_type="Synthetic", max_matches=2000),
+    data=DataConfig(dataset_type="Synthetic", max_matches=2000,
+                    gt_match_lists=True),
 ).resolved()
 
 

@@ -23,7 +23,7 @@ def tiny_cfg(dataset_path, dataset_type, pipeline="align", num_points=512):
     cfg = Config(pipeline=pipeline, model=model)
     cfg = replace(cfg, data=replace(cfg.data, dataset_path=str(dataset_path),
                                     dataset_type=dataset_type,
-                                    max_matches=4096))
+                                    max_matches=4096, gt_match_lists=True))
     return cfg.resolved()
 
 

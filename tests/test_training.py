@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepsir_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
                                 TrainConfig, replace)
@@ -100,6 +101,110 @@ def test_feat_train_step_runs():
     p0, p1 = state.params["params"], new_state.params["params"]
     assert changed(p1["mlp_feat"], p0["mlp_feat"])
     assert not changed(p1["feat_extractor"], p0["feat_extractor"])
+
+
+def _grads(cfg, model, params, arrays, rng):
+    from deepsir_tpu.training import compute_loss, device_batch
+    from deepsir_tpu.models import ForwardOptions
+
+    batch = device_batch(cfg, arrays)
+    opts = ForwardOptions(num_iter=cfg.model.num_train_reg_iter)
+
+    def loss_fn(p):
+        return compute_loss(cfg, model, p, batch, opts, True, rng)[0]
+
+    return jax.jit(jax.grad(loss_fn))(params)
+
+
+@pytest.mark.parametrize("pipeline", ["align", "feat"])
+def test_stop_frozen_gradients_preserves_trainable_grads(pipeline):
+    """stop_gradient at the staged-freeze boundary must not change the
+    gradients of the TRAINABLE groups (it only removes backward compute the
+    freeze mask would zero anyway)."""
+    from deepsir_tpu.models import Network
+
+    cfg = tiny_cfg(pipeline)
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    model_nostop = Network(cfg.model, pipeline=pipeline,
+                           stop_frozen_gradients=False)
+    rng = jax.random.PRNGKey(0)
+    g_stop = _grads(cfg, model, state.params, arrays, rng)
+    g_full = _grads(cfg, model_nostop, state.params, arrays, rng)
+    for group in TRAINABLE_GROUPS[pipeline]:
+        a = jax.tree_util.tree_leaves(g_stop["params"][group])
+        b = jax.tree_util.tree_leaves(g_full["params"][group])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and the frozen groups' grads really are dead now
+    frozen = set(g_stop["params"]) - TRAINABLE_GROUPS[pipeline]
+    for group in frozen:
+        for leaf in jax.tree_util.tree_leaves(g_stop["params"][group]):
+            assert not np.any(np.asarray(leaf)), group
+
+
+def test_align_train_batch_ships_no_matches_by_default():
+    """The geometric BCE label path (default) must not pay host KDTree time
+    or relay transfer for a match list the loss never reads."""
+    cfg = tiny_cfg("align")
+    assert not cfg.data.gt_match_lists
+    arrays = get_batch(cfg)
+    assert "matches" not in arrays and "num_matches" not in arrays
+    # and the list mode still ships them
+    cfg_l = replace(cfg, data=replace(cfg.data, gt_match_lists=True))
+    arrays_l = get_batch(cfg_l)
+    assert arrays_l["matches"].shape[-1] == 2
+
+
+def test_geometric_and_list_bce_agree():
+    """The in-graph geometric labels equal the reference-style match-list
+    lookup on exact-resampled batches (the cross-check that keeps the list
+    path honest while the geometric path is the default)."""
+    from deepsir_tpu.losses import scan_alignment_loss
+    from deepsir_tpu.models import ForwardOptions
+    from deepsir_tpu.training import device_batch
+
+    cfg = tiny_cfg("align")
+    cfg_l = replace(cfg, data=replace(cfg.data, gt_match_lists=True))
+    arrays = get_batch(cfg_l)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    batch = device_batch(cfg, arrays)
+    opts = ForwardOptions(num_iter=cfg.model.num_train_reg_iter)
+    transforms, out = model.apply(state.params, batch, opts, train=False)
+
+    args = (transforms, out.inlier_logits, out.pred_idx, out.pt_src,
+            batch.transform_gt, batch.matches, cfg.loss)
+    geo = scan_alignment_loss(*args, pt_ref=out.pt_ref)
+    lst = scan_alignment_loss(*args, pt_ref=None)
+    for k in geo:
+        np.testing.assert_allclose(np.asarray(geo[k]), np.asarray(lst[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_absolute_pose_solve_first_iter_identical():
+    """The drift-fix solve (absolute re-anchoring) is mathematically the
+    reference scheme at iteration 1 (the first increment composes with the
+    identity) — and it must diverge only at later iterations."""
+    from deepsir_tpu.models import ForwardOptions, Network
+    from deepsir_tpu.training import device_batch
+
+    cfg = tiny_cfg("align")
+    cfg_abs = replace(cfg, model=replace(cfg.model, absolute_pose_solve=True))
+    arrays = get_batch(cfg)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    model_abs = Network(cfg_abs.model, pipeline="align")
+    batch = device_batch(cfg, arrays)
+
+    opts1 = ForwardOptions(num_iter=1)
+    t_ref, _ = model.apply(state.params, batch, opts1, train=False)
+    t_abs, _ = model_abs.apply(state.params, batch, opts1, train=False)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_abs),
+                               rtol=1e-5, atol=1e-6)
+
+    opts3 = ForwardOptions(num_iter=3)
+    t3, out3 = model_abs.apply(state.params, batch, opts3, train=False)
+    assert t3.shape == (3, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(t3)))
 
 
 def test_eval_step_runs():
