@@ -28,7 +28,9 @@ _NUM_PER_CLASS = np.array([
     240942562, 17294618, 170599734, 6369672, 230413074, 101130274, 476491114,
     9833174, 129609852, 4506626, 1168181], dtype=np.float64)
 _freq = _NUM_PER_CLASS / _NUM_PER_CLASS.sum()
-CLASS_WEIGHTS = jnp.asarray(1.0 / (_freq + 0.02), dtype=jnp.float32)
+# numpy (not jnp): a module-level device array would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+CLASS_WEIGHTS = np.asarray(1.0 / (_freq + 0.02), dtype=np.float32)
 
 LABEL_NAMES = (
     "car", "bicycle", "motorcycle", "truck", "other-vehicle", "person",
@@ -48,7 +50,7 @@ def semantic_loss(logits: jnp.ndarray, labels: jnp.ndarray
     target = jnp.clip(labels - 1, 0, NUM_CLASSES - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
-    w = CLASS_WEIGHTS[target] * valid
+    w = jnp.asarray(CLASS_WEIGHTS)[target] * valid
     loss = jnp.sum(nll * w) / (jnp.sum(w) + 1e-12)
 
     pred = jnp.argmax(logits, axis=-1)

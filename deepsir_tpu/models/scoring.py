@@ -10,6 +10,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from deepsir_tpu.ops.gather import gather_neighbour, gather_points
 
@@ -19,11 +20,14 @@ _EPS = 1e-16
 # (class 0 'unlabeled' is excluded from logits). Static planar classes (road,
 # building, pole, traffic-sign...) score high; dynamic classes (person,
 # cyclists) are zeroed. (reference network/model.py:141-150)
-LABEL_WEIGHTS = jnp.asarray(
+# numpy (not jnp): a module-level device array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize ordering
+# (parallel/distributed.py); jnp ops coerce it on first use inside jit
+LABEL_WEIGHTS = np.asarray(
     [3, 1, 1, 3, 2,
      0, 0, 0, 6, 5,
      6, 4, 7, 7, 6,
-     8, 4, 9, 9], dtype=jnp.float32)
+     8, 4, 9, 9], dtype=np.float32)
 
 AGGREGATION_BALL_R = 2.0       # isolation radius (model.py:729)
 PROB_GATE = 0.2                # semantic confidence gate (model.py:749)
@@ -66,7 +70,7 @@ def score_points(feat: jnp.ndarray, xyz: jnp.ndarray, logits: jnp.ndarray,
     # verbatim for parity.
     prob = jnp.max(logits, axis=-1)                                  # (..., N)
     label = jnp.argmax(logits, axis=-1)                              # (..., N)
-    label_score = LABEL_WEIGHTS[label]
+    label_score = jnp.asarray(LABEL_WEIGHTS)[label]
     label_score = label_score / (jnp.max(label_score, axis=-1, keepdims=True) + _EPS)
     prob_n = prob / (jnp.max(prob, axis=-1, keepdims=True) + _EPS)
     label_score = label_score * (prob_n > PROB_GATE)                 # (..., N)

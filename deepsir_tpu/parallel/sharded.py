@@ -29,11 +29,19 @@ from deepsir_tpu.training import (TrainState, make_eval_step, make_train_step)
 def shard_batch(mesh: Mesh, arrays: Dict[str, np.ndarray]):
     """Place host batch arrays on the mesh, batch dim split over 'data'.
 
-    Batch size must be divisible by the data-axis size.
+    Single-process: `arrays` is the GLOBAL batch (divisible by the data-axis
+    size). Multi-process (after parallel.distributed.initialize_from_env):
+    each process passes its LOCAL portion of the batch — the per-host loader
+    shard — and the global array is assembled across processes without any
+    cross-host data movement.
     """
     sh = batch_sharding(mesh)
-    ndata = mesh.shape[DATA_AXIS]
     out = {}
+    if jax.process_count() > 1:
+        for k, v in arrays.items():
+            out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
+        return out
+    ndata = mesh.shape[DATA_AXIS]
     for k, v in arrays.items():
         assert v.shape[0] % ndata == 0, (
             f"batch dim {v.shape[0]} of '{k}' not divisible by data axis {ndata}")
@@ -42,6 +50,14 @@ def shard_batch(mesh: Mesh, arrays: Dict[str, np.ndarray]):
 
 
 def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
+    if jax.process_count() > 1:
+        # device_put cannot target non-addressable devices; every process
+        # holds an identical copy (same init seed / restored checkpoint), so
+        # assembling the replicated global array from local data is exact
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)), state)
     return jax.device_put(state, replicated(mesh))
 
 
