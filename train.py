@@ -144,6 +144,11 @@ def validate(cfg, model, state, val_loader, logger, val_step,
 def main():
     args = train_argument_parser().parse_args()
     cfg = config_from_args(args)
+    # multi-host: connect this process to the coordination service BEFORE
+    # any device query, making jax.devices() global (parallel/distributed.py;
+    # no-op without the DEEPSIR_COORDINATOR / DEEPSIR_DISTRIBUTED env)
+    from deepsir_tpu.parallel.distributed import initialize_from_env
+    initialize_from_env()
     logger, log_path = prepare_logger(cfg)
     if cfg.debug:
         enable_debug_mode()
@@ -239,9 +244,23 @@ def main():
             if step % cfg.train.summary_every == 0:
                 train_writer.add_scalar("loss", loss, step)
                 train_writer.add_scalar("lr", float(lr_sched(step)), step)
+                # per-iteration loss scalars (reference save_summaries,
+                # train.py:51-110: every loss term, per registration iter)
+                for k, v in aux.get("losses", {}).items():
+                    train_writer.add_scalar(f"losses/{k}", float(v), step)
                 for k, v in aux.items():
-                    if k not in ("loss",) and np.ndim(v) == 0:
+                    if k not in ("loss", "losses") and np.ndim(v) == 0:
                         train_writer.add_scalar(k, float(v), step)
+                if cfg.pipeline == "align" and jax.process_count() == 1:
+                    # train-batch mesh dump (reference save_summaries 3D
+                    # meshes, train.py:65-96) — one extra eval forward,
+                    # amortized over summary_every steps so the steady-state
+                    # step timing is unaffected
+                    transforms, _ = val_step(state.params, arrays)
+                    mesh_summary(train_writer, step,
+                                 {k: np.asarray(v) for k, v in arrays.items()},
+                                 np.asarray(transforms[-1]),
+                                 tag="train_alignment")
             if validate_every > 0 and step % validate_every == 0:
                 score = validate(cfg, model, state, val_loader, logger,
                                  val_step, writer=train_writer, step=step)
