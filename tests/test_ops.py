@@ -239,6 +239,37 @@ def test_radius_matches_oracle(rng):
     assert np.all(d < 0.05)
 
 
+def test_radius_matches_jit_matches_scipy_oracle(rng):
+    """The in-graph tiled kernel must find the exact same (i, j) pair SET as
+    the host scipy path when degree and capacity caps are not binding."""
+    src = rng.uniform(-1, 1, size=(200, 3))
+    rot = Rotation.from_euler("xz", [40, 25], degrees=True).as_matrix()
+    g = np.concatenate([rot, np.array([[0.3], [0.1], [-0.2]])], axis=1)
+    tgt = se3_np.transform(g, src) + rng.normal(scale=0.05, size=(200, 3))
+    radius = 0.15
+    oracle = set(map(tuple, radius_match.radius_matches_np(
+        src, tgt, g, radius)))
+    pairs, num = radius_match.radius_matches(src, tgt, g, radius,
+                                             k_per_point=32, capacity=4096)
+    pairs, num = np.asarray(pairs), int(num)
+    assert num == len(oracle)
+    assert set(map(tuple, pairs[:num])) == oracle
+    np.testing.assert_array_equal(pairs[num:], -1)
+    # compaction keeps per-source ascending-distance order for capped use
+    d = np.linalg.norm(se3_np.transform(g, src)[pairs[:num, 0]]
+                       - tgt[pairs[:num, 1]], axis=1)
+    assert np.all(d < radius)
+
+
+def test_radius_matches_jit_capacity_truncation(rng):
+    src = rng.uniform(-0.1, 0.1, size=(64, 3))      # dense: everything matches
+    g = np.eye(3, 4)
+    pairs, num = radius_match.radius_matches(src, src, g, 1.0,
+                                             k_per_point=64, capacity=100)
+    assert int(num) == 100 and np.asarray(pairs).shape == (100, 2)
+    assert np.all(np.asarray(pairs) >= 0)
+
+
 def test_pad_matches():
     m = np.array([[1, 2], [3, 4]], dtype=np.int32)
     padded, n = radius_match.pad_matches(m, 5)
