@@ -22,7 +22,9 @@ def _build(cfg: Config, split: str) -> PairDataset:
         from deepsir_tpu.data.synthetic import SyntheticPairs
         size = {"train": cfg.data.synthetic_train_size,
                 "test": cfg.data.synthetic_eval_size}.get(split)
-        return SyntheticPairs(cfg, split, size=size)
+        return SyntheticPairs(cfg, split, size=size,
+                              noise=cfg.data.synthetic_noise,
+                              p_keep=cfg.data.synthetic_p_keep)
     raise NotImplementedError(ds)
 
 
