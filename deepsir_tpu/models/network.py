@@ -130,9 +130,15 @@ class Network(nn.Module):
         """One cloud's fused descriptor: proj(mlp_feat(f) + mlp_att([xyz;s])),
         L2-normalized (one side of reference Network.aggregation,
         model.py:209-235)."""
-        f = self.mlp_feat(feat)
+        return self.aggregate_moving(xyz, score, self.mlp_feat(feat))
+
+    def aggregate_moving(self, xyz, score, ff):
+        """Descriptor from a PRECOMPUTED feature stream `ff = mlp_feat(feat)`
+        plus the positional stream at the current pose. The registration scan
+        moves only xyz, so mlp_feat over the (iteration-invariant) backbone
+        features is hoisted out of the loop."""
         g = self.mlp_att(jnp.concatenate([xyz, score[..., None]], axis=-1))
-        f = self.mlp_proj(f + g).astype(jnp.float32)
+        f = self.mlp_proj(ff + g).astype(jnp.float32)
         return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
 
     def aggregation(self, xyz_src, xyz_ref, feat_src, feat_ref,
@@ -253,12 +259,23 @@ class Network(nn.Module):
             # model.py:201-207)
             fr = jax.lax.stop_gradient(fr)
 
+        # the inlier RandLA runs once per iteration over the SAME source
+        # pyramid with only its input features changing, so its LocSE
+        # positional branch (xyz neighbour gathers + 10-ch encoding + two
+        # ConvUnits per level) is loop-invariant: compute it ONCE here —
+        # XLA does not hoist these multi-MB fusions out of the scan itself
+        inlier_pos = self.inlier_model.pos_cache(batch.pyramid_src)
+        # mlp_feat over the backbone features is likewise loop-invariant
+        ff_src = self.mlp_feat(feat_src0)
+        if stop_frozen:
+            ff_src = jax.lax.stop_gradient(ff_src)
+
         # every registration iteration runs the same subgraph with the same
         # weights, so it compiles ONCE as an nn.scan body (the reference
         # unrolls a python loop, model.py:551-601)
         def iter_body(mdl, carry, _):
             xyz_src, cum, invalid = carry
-            fs = mdl.aggregate_side(xyz_src, feat_src0, score_src)
+            fs = mdl.aggregate_moving(xyz_src, score_src, ff_src)
             if stop_frozen:
                 fs = jax.lax.stop_gradient(fs)
             # correspondence search — integer output, no gradient flows;
@@ -273,7 +290,8 @@ class Network(nn.Module):
             # learned inlier confidence over concatenated pair coordinates
             pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
             _, inlier_logit = mdl.inlier_model(pair_feats, batch.pyramid_src,
-                                               train=train)
+                                               train=train,
+                                               pos_cache=inlier_pos)
             inlier_logit = inlier_logit[..., 0]                   # (B, N)
             weights = jax.nn.sigmoid(inlier_logit)
             if opts.clip_weight and cfg.clip_weight_thresh > 0:

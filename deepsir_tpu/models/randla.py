@@ -13,6 +13,13 @@ Differences from the reference (deliberate, TPU-first):
     runtime slice offsets (RandLANet.compute_index)
   * GroupNorm everywhere (see models/layers.py docstring)
   * dropout is explicit via an rng key; inference path is pure
+  * the LocSE positional branch (xyz neighbour gather -> 10-ch encoding ->
+    two ConvUnits per encoder level) is exposed as `pos_cache` so callers
+    that run the SAME network over the SAME pyramid repeatedly — the
+    registration scan runs the inlier RandLA once per iteration with only
+    the input FEATURES changing (reference model.py:551-601) — compute it
+    once outside the loop instead of per iteration. Exact: the cached
+    tensors are pure functions of (pyramid.xyz, pyramid.neigh_idx, params).
 """
 from __future__ import annotations
 
@@ -28,13 +35,19 @@ from deepsir_tpu.ops.gather import (gather_neighbour, max_pool_neighbours,
 from deepsir_tpu.ops.pyramid import Pyramid
 
 
-def relative_pos_encoding(xyz: jnp.ndarray, neigh_idx: jnp.ndarray) -> jnp.ndarray:
+def relative_pos_encoding(xyz: jnp.ndarray, neigh_idx: jnp.ndarray,
+                          neigh_xyz: jnp.ndarray = None) -> jnp.ndarray:
     """Local spatial encoding: [dist, rel_xyz, xyz, neigh_xyz] = 10 channels.
 
     xyz: (..., N, 3); neigh_idx: (..., N, K) -> (..., N, K, 10)
     (reference Building_block.relative_pos_encoding, RandLANet.py:197-212)
+
+    neigh_xyz may be passed pre-gathered: TPU row-gathers are latency-bound
+    at ~6 ns/row regardless of row width (xplane profile), so callers fuse
+    the xyz gather with a same-index feature gather into one wide gather.
     """
-    neigh_xyz = gather_neighbour(xyz, neigh_idx)               # (..., N, K, 3)
+    if neigh_xyz is None:
+        neigh_xyz = gather_neighbour(xyz, neigh_idx)           # (..., N, K, 3)
     center = xyz[..., :, None, :]
     rel = neigh_xyz - center
     dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1, keepdims=True) + 1e-20)
@@ -65,6 +78,11 @@ def ppf_grouping(xyz: jnp.ndarray, normals: jnp.ndarray,
     return jnp.concatenate([center, di, ppf], axis=-1)
 
 
+# a per-level positional cache entry: the two ConvUnit projections of the
+# 10-channel LocSE encoding consumed by the block's two attentive poolings
+PosEnc = Tuple[jnp.ndarray, jnp.ndarray]
+
+
 class BuildingBlock(nn.Module):
     """Local feature aggregation (LocSE + dual attentive pooling).
 
@@ -73,22 +91,46 @@ class BuildingBlock(nn.Module):
     d_out: int
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, xyz, feature, neigh_idx):
-        """xyz (..., N, 3); feature (..., N, C=d_out//2); neigh (..., N, K)."""
+    def setup(self):
+        half = self.d_out // 2
+        self.mlp1 = ConvUnit(half, dtype=self.dtype)
+        self.att_pooling_1 = AttPooling(half, dtype=self.dtype)
+        self.mlp2 = ConvUnit(half, dtype=self.dtype)
+        self.att_pooling_2 = AttPooling(self.d_out, dtype=self.dtype)
+
+    def pos_encode(self, xyz, neigh_idx) -> PosEnc:
+        """The positional branch: pure function of geometry + params.
+
+        NOTE the chaining: mlp2 consumes mlp1's OUTPUT, not the raw 10-ch
+        encoding (reference Building_block.forward, RandLANet.py:170-178).
+        """
         f_xyz = relative_pos_encoding(xyz, neigh_idx)          # (..., N, K, 10)
+        p1 = self.mlp1(f_xyz)
+        return p1, self.mlp2(p1)
 
-        f_xyz = ConvUnit(self.d_out // 2, name="mlp1", dtype=self.dtype)(f_xyz)
-        f_neigh = gather_neighbour(feature, neigh_idx)         # (..., N, K, C)
-        f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)  # (..., N, K, d_out)
-        f_agg = AttPooling(self.d_out // 2, name="att_pooling_1",
-                           dtype=self.dtype)(f_concat)
+    def __call__(self, xyz, feature, neigh_idx, pos: Optional[PosEnc] = None):
+        """xyz (..., N, 3); feature (..., N, C=d_out//2); neigh (..., N, K)."""
+        if pos is not None:
+            p1, p2 = pos
+            f_neigh = gather_neighbour(feature, neigh_idx)     # (..., N, K, C)
+        else:
+            # ONE wide gather for xyz + features (row-gathers are
+            # latency-bound per ROW, not per byte — two same-index gathers
+            # cost twice one)
+            both = gather_neighbour(
+                jnp.concatenate([xyz, feature], axis=-1), neigh_idx)
+            f_xyz = relative_pos_encoding(xyz, neigh_idx,
+                                          neigh_xyz=both[..., :3])
+            p1 = self.mlp1(f_xyz)
+            p2 = self.mlp2(p1)          # chained (RandLANet.py:170-178)
+            f_neigh = both[..., 3:]
 
-        f_xyz = ConvUnit(self.d_out // 2, name="mlp2", dtype=self.dtype)(f_xyz)
+        f_concat = jnp.concatenate([f_neigh, p1], axis=-1)     # (..., N, K, d_out)
+        f_agg = self.att_pooling_1(f_concat)
+
         f_neigh = gather_neighbour(f_agg, neigh_idx)
-        f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
-        return AttPooling(self.d_out, name="att_pooling_2",
-                          dtype=self.dtype)(f_concat)
+        f_concat = jnp.concatenate([f_neigh, p2], axis=-1)
+        return self.att_pooling_2(f_concat)
 
 
 class DilatedResBlock(nn.Module):
@@ -96,15 +138,21 @@ class DilatedResBlock(nn.Module):
     d_out: int
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, feature, xyz, neigh_idx):
-        f_pc = ConvUnit(self.d_out // 2, name="mlp1", dtype=self.dtype)(feature)
-        f_pc = BuildingBlock(self.d_out, name="lfa", dtype=self.dtype)(
-            xyz, f_pc, neigh_idx)
-        f_pc = ConvUnit(self.d_out * 2, use_act=False, name="mlp2",
-                        dtype=self.dtype)(f_pc)
-        shortcut = ConvUnit(self.d_out * 2, use_act=False, name="mlp_skip",
-                            dtype=self.dtype)(feature)
+    def setup(self):
+        self.mlp1 = ConvUnit(self.d_out // 2, dtype=self.dtype)
+        self.lfa = BuildingBlock(self.d_out, dtype=self.dtype)
+        self.mlp2 = ConvUnit(self.d_out * 2, use_act=False, dtype=self.dtype)
+        self.mlp_skip = ConvUnit(self.d_out * 2, use_act=False,
+                                 dtype=self.dtype)
+
+    def pos_encode(self, xyz, neigh_idx) -> PosEnc:
+        return self.lfa.pos_encode(xyz, neigh_idx)
+
+    def __call__(self, feature, xyz, neigh_idx, pos: Optional[PosEnc] = None):
+        f_pc = self.mlp1(feature)
+        f_pc = self.lfa(xyz, f_pc, neigh_idx, pos=pos)
+        f_pc = self.mlp2(f_pc)
+        shortcut = self.mlp_skip(feature)
         return leaky_relu(f_pc + shortcut)
 
 
@@ -112,55 +160,73 @@ class RandLA(nn.Module):
     """RandLA-Net encoder-decoder over a precomputed index pyramid.
 
     __call__(features, pyramid) -> (feat (..., N, C_out), logits (..., N, classes))
+
+    `pos_cache` (from `self.pos_cache(pyr)`) substitutes the per-level LocSE
+    positional projections; pass it when calling the same network repeatedly
+    over one pyramid (the registration scan) to hoist that work out of the
+    loop.
     """
     cfg: ModelConfig
     num_classes: int = 19
     feat_len: Optional[int] = None    # override cfg.feat_len (inlier net uses 6)
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        dtype = None if dtype == jnp.float32 else dtype       # fp32: no casts
+        self.mlp_pre = ConvUnit(12 if cfg.use_ppf else 8, dtype=dtype)
+        self.enc = [DilatedResBlock(d, dtype=dtype) for d in cfg.d_out]
+        self.mlp_mid = ConvUnit(2 * cfg.d_out[-1], dtype=dtype)
+        self.dec = [ConvUnit(2 * cfg.d_out[max(len(cfg.d_out) - j - 2, 0)],
+                             dtype=dtype)
+                    for j in range(len(cfg.d_out))]
+        self.mlp_out = nn.Dense(cfg.out_feat_dim, use_bias=False, dtype=dtype,
+                                kernel_init=nn.initializers.he_normal())
+        self.dropout = nn.Dropout(rate=cfg.dropout_rate)
+        self.fc_label = MLP((cfg.out_feat_dim, 32, self.num_classes),
+                            dtype=dtype)
+
+    def pos_cache(self, pyr: Pyramid) -> Tuple[PosEnc, ...]:
+        """Per-encoder-level LocSE projections — scan-invariant."""
+        return tuple(self.enc[i].pos_encode(pyr.xyz[i], pyr.neigh_idx[i])
+                     for i in range(len(self.enc)))
+
     def __call__(self, features: jnp.ndarray, pyr: Pyramid,
-                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 train: bool = False,
+                 pos_cache: Optional[Tuple[PosEnc, ...]] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         num_layers = cfg.num_layers
         d_mid = cfg.d_out
-        dtype = jnp.dtype(cfg.compute_dtype)
-        if dtype == jnp.float32:
-            dtype = None                  # pure fp32 path, no casts
 
         if cfg.use_ppf:
             # features must carry xyz + normals in the first 6 channels
             grouped = ppf_grouping(features[..., :3], features[..., 3:6],
                                    pyr.neigh_idx[0])           # (..., N, K, 10)
-            x = ConvUnit(12, name="mlp_pre", dtype=dtype)(grouped)
+            x = self.mlp_pre(grouped)
             x = jnp.mean(x, axis=-2)                           # (..., N, 12)
         else:
-            x = ConvUnit(8, name="mlp_pre", dtype=dtype)(features)  # (..., N, 8)
+            x = self.mlp_pre(features)                         # (..., N, 8)
 
         # ---------------- encoder ----------------
         skips = []
         for i in range(num_layers):
-            x = DilatedResBlock(d_mid[i], name=f"enc_{i}", dtype=dtype)(
-                x, pyr.xyz[i], pyr.neigh_idx[i])               # (..., Nl, 2*d)
-            skips.append(x)
+            x = self.enc[i](x, pyr.xyz[i], pyr.neigh_idx[i],
+                            pos=pos_cache[i] if pos_cache else None)
+            skips.append(x)                                    # (..., Nl, 2*d)
             x = max_pool_neighbours(x, pyr.pool_idx[i])        # (..., N{l+1}, 2*d)
 
-        x = ConvUnit(x.shape[-1], name="mlp_mid", dtype=dtype)(x)
+        x = self.mlp_mid(x)
 
         # ---------------- decoder ----------------
         for j in range(num_layers):
             lvl = num_layers - j - 1                           # level to restore
             up = nearest_interpolate(x, pyr.interp_idx[lvl])   # (..., Nl, C)
             cat = jnp.concatenate([skips[lvl], up], axis=-1)
-            d_out = 2 * d_mid[max(lvl - 1, 0)]
-            x = ConvUnit(d_out, name=f"dec_{j}", dtype=dtype)(cat)
+            x = self.dec[j](cat)
 
-        feat = nn.Dense(cfg.out_feat_dim, use_bias=False, dtype=dtype,
-                        kernel_init=nn.initializers.he_normal(),
-                        name="mlp_out")(x)                     # (..., N, C_out)
-        feat = feat.astype(jnp.float32)
+        feat = self.mlp_out(x).astype(jnp.float32)             # (..., N, C_out)
 
-        logits = nn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(feat)
-        logits = MLP((cfg.out_feat_dim, 32, self.num_classes),
-                     name="fc_label", dtype=dtype)(logits)     # (..., N, classes)
-        logits = logits.astype(jnp.float32)
+        logits = self.dropout(feat, deterministic=not train)
+        logits = self.fc_label(logits).astype(jnp.float32)     # (..., N, classes)
         return feat, logits

@@ -49,12 +49,17 @@ def score_points(feat: jnp.ndarray, xyz: jnp.ndarray, logits: jnp.ndarray,
     max_per_sample = jnp.max(feat, axis=(-2, -1), keepdims=True)
     feat_n = feat / (max_per_sample + _EPS)
 
+    # one fused gather for features + xyz (same indices; row-gathers are
+    # latency-bound per row, so two gathers cost twice one)
+    both = gather_neighbour(jnp.concatenate([feat_n, xyz], axis=-1),
+                            neigh_idx)                               # (..., N, K, C+3)
+
     # 1. local-max saliency: softplus(f - mean of neighbour features)
-    neigh_feat = jnp.mean(gather_neighbour(feat_n, neigh_idx), axis=-2)
+    neigh_feat = jnp.mean(both[..., :-3], axis=-2)
     local_max = jax.nn.softplus(feat_n - neigh_feat)                 # (..., N, C)
 
     # 2. isolation mask: mean neighbour distance below a ball radius
-    neigh_xyz = gather_neighbour(xyz, neigh_idx)                     # (..., N, K, 3)
+    neigh_xyz = both[..., -3:]                                       # (..., N, K, 3)
     rel = neigh_xyz - xyz[..., :, None, :]
     mean_dist = jnp.mean(jnp.linalg.norm(rel, axis=-1), axis=-1)     # (..., N)
     isolation = (mean_dist < AGGREGATION_BALL_R).astype(feat.dtype)[..., None]
