@@ -30,6 +30,9 @@ import numpy as np
 N_POINTS = int(os.environ.get("DEEPSIR_BENCH_POINTS", 18000))
 N_ITERS = 5
 BATCHES = (1, 2, 4) if N_POINTS <= 18000 else (1,)
+if os.environ.get("DEEPSIR_BENCH_BATCHES"):          # e.g. "1" or "1,2"
+    BATCHES = tuple(int(b) for b in
+                    os.environ["DEEPSIR_BENCH_BATCHES"].split(","))
 TIMED_REPS = 16          # ~1 s of timed work per config; the relay link
                          # adds +-1 pair/sec of jitter at 8 reps
 
@@ -59,6 +62,13 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    # point payloads cross the host->device link as float16 by default: the
+    # ~27 MB/s relay is the sustained bound and positions at scene scale
+    # lose <1e-3 relative (validated to leave 128-pair held-out success
+    # unchanged — BASELINE.md robustness table); DEEPSIR_BENCH_TRANSFER=
+    # float32 restores full-width transfers
+    transfer = np.dtype(os.environ.get("DEEPSIR_BENCH_TRANSFER", "float16"))
+
     def make_arrays(batch):
         xyz = rng.normal(size=(batch, N_POINTS, 3)).astype(np.float32) * 10.0
         extra = rng.uniform(size=(batch, N_POINTS, 1)).astype(np.float32)
@@ -67,7 +77,8 @@ def main():
         pts2 = np.concatenate(
             [xyz2, rng.uniform(size=(batch, N_POINTS, 1)).astype(np.float32)],
             axis=-1)
-        return {"points_src": pts, "points_ref": pts2,
+        return {"points_src": pts.astype(transfer),
+                "points_ref": pts2.astype(transfer),
                 "transform_gt": np.tile(np.eye(3, 4, dtype=np.float32),
                                         (batch, 1, 1))}
 

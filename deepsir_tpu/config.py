@@ -163,6 +163,9 @@ class EvalConfig:
     use_finetune: bool = False
     use_icp: bool = False
     use_ransac: bool = False
+    # dtype for point payloads on the host->device link ("float16" halves
+    # the relay bytes; math stays fp32 after the device-side upcast)
+    transfer_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -307,6 +310,8 @@ def eval_argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_finetune", type=str2bool, default=False)
     p.add_argument("--use_icp", type=str2bool, default=False)
     p.add_argument("--use_ransac", type=str2bool, default=False)
+    p.add_argument("--transfer_dtype", type=str, default="float32",
+                   choices=["float32", "float16"])
     return p
 
 
@@ -360,7 +365,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         eval_save_path=getattr(args, "eval_save_path", "./out/"),
         use_finetune=getattr(args, "use_finetune", False),
         use_icp=getattr(args, "use_icp", False),
-        use_ransac=getattr(args, "use_ransac", False))
+        use_ransac=getattr(args, "use_ransac", False),
+        transfer_dtype=getattr(args, "transfer_dtype", "float32"))
     return Config(pipeline=args.pipeline, model=model, data=data, loss=loss,
                   train=train, eval=ev, logdir=args.logdir, name=args.name,
                   dev=args.dev, debug=args.debug).resolved()

@@ -176,11 +176,19 @@ def inference_align(loader, eval_step, params, cfg: Config,
 
     warmed = False
 
+    transfer_dtype = np.dtype(getattr(cfg.eval, "transfer_dtype", "float32"))
+
     def transfer(batch):
         # keep the host batch for numpy-side stats; stage the array leaves
         # on device ahead of the step (utils/prefetch.py) so the transfer
-        # of pair i+1 overlaps the device compute of pair i
+        # of pair i+1 overlaps the device compute of pair i. Point payloads
+        # optionally cross the link half-width (cfg.eval.transfer_dtype;
+        # device_batch upcasts to fp32 before any math)
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if transfer_dtype != np.float32:
+            arrays = {k: (v.astype(transfer_dtype)
+                          if k in ("points_src", "points_ref") else v)
+                      for k, v in arrays.items()}
         return batch, {k: jax.device_put(v) for k, v in arrays.items()}
 
     for batch, dev_arrays in device_prefetch(loader, transfer=transfer):

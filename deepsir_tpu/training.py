@@ -103,6 +103,12 @@ def device_batch(cfg: Config, arrays: Dict[str, np.ndarray]) -> PairBatch:
     m = cfg.model
     src = jnp.asarray(arrays["points_src"])
     ref = jnp.asarray(arrays["points_ref"])
+    if src.dtype in (jnp.float16, jnp.bfloat16):
+        # compact-transfer mode: the host ships half-width point payloads
+        # (the 27 MB/s host->device relay is the sustained-throughput bound
+        # here — see BASELINE.md); all math runs fp32 after this upcast
+        src = src.astype(jnp.float32)
+        ref = ref.astype(jnp.float32)
     pyr_src = build_pyramid(src[..., :3], m.num_knn, m.sub_sampling_ratio,
                             recall_target=m.knn_recall_target)
     pyr_ref = build_pyramid(ref[..., :3], m.num_knn, m.sub_sampling_ratio,

@@ -96,8 +96,16 @@ def summarize(trace_dir, reps):
                     dur = ev.duration_ps / 1e12
                     by_name[name] += dur
                     total += dur
+    # async copy/slice -start events span their whole in-flight window,
+    # OVERLAPPING the compute they hide behind — counting them as busy time
+    # double-counts; report them separately
+    async_spans = sum(d for n, d in by_name.items()
+                      if "-start" in n or "-done" in n)
+    busy = total - async_spans
     print(f"\ndevice op time total: {total / reps * 1e3:.2f} ms/call "
-          f"({reps} calls)")
+          f"({reps} calls); busy (excl. async DMA spans): "
+          f"{busy / reps * 1e3:.2f} ms/call, async spans "
+          f"{async_spans / reps * 1e3:.2f} ms/call")
 
     def bucket(name):
         for key in ("fusion", "dynamic-slice", "gather", "scatter", "dot",
