@@ -62,12 +62,12 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # point payloads cross the host->device link as float16 by default: the
-    # ~27 MB/s relay is the sustained bound and positions at scene scale
-    # lose <1e-3 relative (validated to leave 128-pair held-out success
-    # unchanged — BASELINE.md robustness table); DEEPSIR_BENCH_TRANSFER=
-    # float32 restores full-width transfers
-    transfer = np.dtype(os.environ.get("DEEPSIR_BENCH_TRANSFER", "float16"))
+    # DEEPSIR_BENCH_TRANSFER=float16 halves the host->device relay bytes
+    # (the sustained bound) but was MEASURED to cost registration quality
+    # (128-pair held-out success 0.547 vs 0.688 at the 5-iter protocol —
+    # the correspondence search is precision-sensitive, BASELINE.md), so
+    # full-width fp32 stays the default
+    transfer = np.dtype(os.environ.get("DEEPSIR_BENCH_TRANSFER", "float32"))
 
     def make_arrays(batch):
         xyz = rng.normal(size=(batch, N_POINTS, 3)).astype(np.float32) * 10.0

@@ -43,6 +43,8 @@ class ModelConfig:
     compute_dtype: str = "float32"    # dtype for activations ("bfloat16" on TPU)
     knn_recall_target: float = 0.95   # <1: TPU ApproxTopK KNN (exact on CPU);
                                       # 1.0: guaranteed-exact everywhere
+    matcher_method: str = "auto"      # 'auto': fused Pallas matcher on TPU
+                                      # (near-tie quantization); 'xla': exact
     # registration loop
     num_train_reg_iter: int = 2
     num_reg_iter: int = 5
@@ -277,6 +279,8 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--knn_recall_target", type=float, default=0.95)
+    p.add_argument("--matcher_method", type=str, default="auto",
+                   choices=["auto", "xla"])
     p.add_argument("-bs", "--batch_size", type=int, default=1)
     p.add_argument("-nv", "--num_val", type=int, default=-1)
     p.add_argument("--resume", type=str, default=None)
@@ -323,6 +327,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         sub_sampling_ratio=tuple(args.sub_sampling_ratio), d_out=tuple(args.d_out),
         out_feat_dim=args.out_feat_dim, compute_dtype=args.compute_dtype,
         knn_recall_target=getattr(args, "knn_recall_target", 0.95),
+        matcher_method=getattr(args, "matcher_method", "auto"),
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,
         clip_weight_thresh=args.clip_weight_thresh,
         absolute_pose_solve=getattr(args, "absolute_pose_solve", False),

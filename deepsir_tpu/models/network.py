@@ -284,7 +284,8 @@ class Network(nn.Module):
                 idx = mdl.matcher(fs, fr)                         # (B, N)
             else:
                 lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-                idx = nearest_neighbour_index(fs, fr, low_precision=lp)
+                idx = nearest_neighbour_index(fs, fr, low_precision=lp,
+                                              method=cfg.matcher_method)
             xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
 
             # learned inlier confidence over concatenated pair coordinates

@@ -46,6 +46,16 @@ def summarize(name, rows):
                       for r in rows])
         print(f"{i + 1:4d} | {cm:13.4f} | {wc:14.4f} | {ww:12.4f} | "
               f"{er:9.3f} | {et:6.3f} | {sc:.3f}")
+    # per-pair tail: the pairs that fail at the final iteration, with their
+    # iteration-1 matching stats — localizes whether a failing pair had bad
+    # matches from the start (descriptors) or lost them later (stability)
+    print("failing pairs (final iter):")
+    for pid, r in enumerate(rows):
+        last = r[-1]
+        if last["err_r"] >= 5.0 or last["err_t"] >= 0.6:
+            print(f"  pair {pid}: it1 correct={r[0]['correct']:.3f} "
+                  f"w_corr={r[0]['w_correct']:.3f} err_r1={r[0]['err_r']:.2f} "
+                  f"-> final err_r={last['err_r']:.2f} err_t={last['err_t']:.3f}")
 
 
 def pose_err(pred, gt):
@@ -82,7 +92,9 @@ def run_ours(args):
     model_cfg = ModelConfig(feat_len=3, num_points=NUM_POINTS,
                             num_reg_iter=args.iters,
                             clip_weight_thresh=args.clip,
-                            absolute_pose_solve=args.absolute)
+                            absolute_pose_solve=args.absolute,
+                            knn_recall_target=1.0 if args.exact else 0.95,
+                            matcher_method="xla" if args.exact else "auto")
     cfg = Config(pipeline="align", model=model_cfg,
                  data=DataConfig(dataset_type="Synthetic", rot_mag=30.0,
                                  trans_mag=1.0),
@@ -172,6 +184,8 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--clip", type=float, default=0.05)
     ap.add_argument("--absolute", action="store_true")
+    ap.add_argument("--exact", action="store_true",
+                    help="exact KNN (recall 1.0) + exact XLA matcher")
     args = ap.parse_args()
     if args.torch_ref:
         run_reference(args)
