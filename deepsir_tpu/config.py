@@ -168,6 +168,10 @@ class EvalConfig:
     # dtype for point payloads on the host->device link ("float16" halves
     # the relay bytes; math stays fp32 after the device-side upcast)
     transfer_dtype: str = "float32"
+    # chordal-mean the last k iteration poses as the refined final estimate
+    # (0/1 = off). All-new: shrinks the near-fixed-point jitter of the
+    # iteration estimates (BASELINE.md round-3 analysis) ~sqrt(k)
+    pose_average_last: int = 0
 
 
 @dataclass(frozen=True)
@@ -316,6 +320,7 @@ def eval_argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ransac", type=str2bool, default=False)
     p.add_argument("--transfer_dtype", type=str, default="float32",
                    choices=["float32", "float16"])
+    p.add_argument("--pose_average_last", type=int, default=0)
     return p
 
 
@@ -371,7 +376,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         use_finetune=getattr(args, "use_finetune", False),
         use_icp=getattr(args, "use_icp", False),
         use_ransac=getattr(args, "use_ransac", False),
-        transfer_dtype=getattr(args, "transfer_dtype", "float32"))
+        transfer_dtype=getattr(args, "transfer_dtype", "float32"),
+        pose_average_last=getattr(args, "pose_average_last", 0))
     return Config(pipeline=args.pipeline, model=model, data=data, loss=loss,
                   train=train, eval=ev, logdir=args.logdir, name=args.name,
                   dev=args.dev, debug=args.debug).resolved()

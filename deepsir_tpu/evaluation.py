@@ -98,8 +98,28 @@ def finetune_pose(xyz_src: jnp.ndarray, xyz_ref: jnp.ndarray,
     return jnp.concatenate([rot, p["trans"][:, None]], axis=1)
 
 
+def average_poses(transforms: np.ndarray) -> np.ndarray:
+    """Chordal-L2 mean of SE(3) estimates: project mean(R_i) back to SO(3)
+    via SVD, average translations. transforms: (k, B, 3, 4) -> (B, 3, 4).
+
+    All-new capability (no reference counterpart): the registration
+    iterations produce near-independent pose estimates jittering around the
+    fixed point once roughly aligned (BASELINE.md round-3 analysis), so
+    averaging the last k estimates shrinks the estimator variance ~sqrt(k).
+    """
+    r_mean = np.mean(transforms[..., :3, :3], axis=0)        # (B, 3, 3)
+    t_mean = np.mean(transforms[..., :3, 3], axis=0)         # (B, 3)
+    out = np.empty(transforms.shape[1:], dtype=transforms.dtype)
+    for b in range(r_mean.shape[0]):
+        u, _, vt = np.linalg.svd(r_mean[b])
+        d = np.sign(np.linalg.det(u @ vt))
+        out[b, :3, :3] = u @ np.diag([1.0, 1.0, d]) @ vt
+        out[b, :3, 3] = t_mean[b]
+    return out
+
+
 def pose_optimization(cfg: Config, arrays: Dict[str, np.ndarray], out,
-                      pose_in: jnp.ndarray) -> jnp.ndarray:
+                      pose_in: jnp.ndarray, transforms=None) -> jnp.ndarray:
     """Optional refinement pass (reference pose_optimization, test.py:209-266).
 
     Both switches default off, so by default this returns pose_in unchanged —
@@ -108,8 +128,13 @@ def pose_optimization(cfg: Config, arrays: Dict[str, np.ndarray], out,
     use_tune = getattr(cfg.eval, "use_finetune", False)
     use_icp = getattr(cfg.eval, "use_icp", False)
     use_ransac = getattr(cfg.eval, "use_ransac", False)
+    avg_last = getattr(cfg.eval, "pose_average_last", 0)
     pose = pose_in                                      # (B, 3, 4)
     corres_dist = cfg.data.voxel_size * 2
+
+    if avg_last > 1 and transforms is not None:
+        k = min(avg_last, transforms.shape[0])
+        pose = jnp.asarray(average_poses(np.asarray(transforms[-k:])))
 
     if use_ransac:
         # vmapped hypothesis-sampling RANSAC over the final correspondences
@@ -217,7 +242,8 @@ def inference_align(loader, eval_step, params, cfg: Config,
         dt = time.perf_counter() - t0
         total_time += dt
 
-        pose = pose_optimization(cfg, arrays, out, transforms[-1])
+        pose = pose_optimization(cfg, arrays, out, transforms[-1],
+                                 transforms=transforms)
         # (iters, B, 3, 4) + final -> (B, iters+1, 3, 4)
         stacked = np.concatenate(
             [np.asarray(transforms), np.asarray(pose)[None]], axis=0)

@@ -54,6 +54,33 @@ def test_inference_and_evaluate_and_save(setup, tmp_path):
         assert "succ" in json.load(f)
 
 
+def test_average_poses_shrinks_rotation_jitter(rng):
+    """Chordal-mean of jittered SE(3) estimates must land nearer the truth
+    than a typical single estimate, and stay a valid rotation."""
+    from scipy.spatial.transform import Rotation
+    from deepsir_tpu.evaluation import average_poses
+
+    true = Rotation.from_euler("xyz", [20, -10, 35], degrees=True)
+    ts = []
+    for _ in range(8):
+        jit = Rotation.from_rotvec(rng.normal(scale=np.radians(1.5), size=3))
+        t = np.eye(3, 4, dtype=np.float32)
+        t[:3, :3] = (jit * true).as_matrix()
+        t[:3, 3] = [1.0, 2.0, 3.0] + rng.normal(scale=0.05, size=3)
+        ts.append(t[None])
+    stack = np.stack(ts)                     # (8, 1, 3, 4)
+    avg = average_poses(stack)               # (1, 3, 4)
+    r = avg[0, :3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(r) > 0.99
+    err_avg = np.degrees(np.arccos(np.clip(
+        (np.trace(r.T @ true.as_matrix()) - 1) / 2, -1, 1)))
+    errs = [np.degrees(np.arccos(np.clip(
+        (np.trace(t[0, :3, :3].T @ true.as_matrix()) - 1) / 2, -1, 1)))
+        for t in ts]
+    assert err_avg < np.mean(errs), (err_avg, np.mean(errs))
+
+
 def test_finetune_pose_improves_noisy_init(rng):
     """Adam-on-SE3 should pull a perturbed pose back toward GT when given
     exact correspondences (reference transformation_finetune)."""
