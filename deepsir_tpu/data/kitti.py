@@ -212,13 +212,13 @@ class KITTIPair(PairDataset):
 
         gt = self.refined_pose(drive, t0, t1, cloud0, cloud1)
 
-        # voxel downsample keeping all channels (reflectance averaged,
-        # label column averaged then rounded — labels within a voxel are
-        # overwhelmingly homogeneous at 0.3 m)
-        sub0 = voxel_downsample_np(cloud0, self.voxel_size)
-        sub1 = voxel_downsample_np(cloud1, self.voxel_size)
-        sub0[:, 4] = np.round(sub0[:, 4])
-        sub1[:, 4] = np.round(sub1[:, 4])
+        # voxel downsample keeping all channels: reflectance averaged, the
+        # label column MAJORITY-VOTED per voxel (deliberate deviation from
+        # the reference, which averages class ids through Open3D's colors
+        # channel then truncates — kitti_loader.py:335-345 — inventing
+        # classes neither point had at voxel boundaries)
+        sub0 = voxel_downsample_np(cloud0, self.voxel_size, label_column=4)
+        sub1 = voxel_downsample_np(cloud1, self.voxel_size, label_column=4)
         # randomize order after the deterministic voxel pass — the in-graph
         # random-subsample pyramid depends on shuffled input
         sub0 = sub0[rng.permutation(len(sub0))]

@@ -21,18 +21,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def voxel_downsample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
+def voxel_downsample_np(points: np.ndarray, voxel_size: float,
+                        label_column: int | None = None) -> np.ndarray:
     """Average all channels of points falling in the same voxel.
 
     points: (N, C) with xyz in the first 3 channels. Returns (V, C) with one
     row per occupied voxel (ordered by voxel id — deterministic).
+
+    label_column selects an integer class column aggregated by MAJORITY VOTE
+    instead of the mean (the reference averages labels through Open3D's
+    colors channel then truncates, kitti_loader.py:335-345 — the mean of
+    class ids 1 and 18 is class 10, a class neither point had; the vote is
+    the sane semantics). Ties resolve to the higher class id.
     """
     if len(points) == 0:
         return points
     from deepsir_tpu import native
-    if native.available():
+    if label_column is None and native.available():
         return native.voxel_downsample(points, voxel_size).astype(points.dtype)
-    coords = np.floor(points[:, :3] / voxel_size).astype(np.int64)
+    coords = np.floor(points[:, :3].astype(np.float64) / voxel_size).astype(np.int64)
     # lexicographic voxel key
     coords -= coords.min(axis=0)
     dims = coords.max(axis=0) + 1
@@ -41,6 +48,17 @@ def voxel_downsample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
     out = np.zeros((len(uniq), points.shape[1]), dtype=np.float64)
     np.add.at(out, inv, points)
     out /= counts[:, None]
+    if label_column is not None:
+        lab = points[:, label_column].astype(np.int64)
+        base = int(lab.max()) + 1
+        comb, cnt = np.unique(inv * base + lab, return_counts=True)
+        vox, cls = comb // base, comb % base
+        # per voxel keep the most frequent class (ties -> higher class id,
+        # since unique's ascending order makes it the later entry)
+        order = np.lexsort((cls, cnt, vox))
+        vox_o, cls_o = vox[order], cls[order]
+        last = np.r_[vox_o[1:] != vox_o[:-1], True]
+        out[vox_o[last], label_column] = cls_o[last]
     return out.astype(points.dtype)
 
 

@@ -239,6 +239,27 @@ def test_radius_matches_oracle(rng):
     assert np.all(d < 0.05)
 
 
+def test_voxel_label_majority_vote(rng):
+    """label_column aggregates by per-voxel majority vote (NOT the mean of
+    class ids, which invents classes neither point had)."""
+    from deepsir_tpu.ops.voxel import voxel_downsample_np
+    pts = rng.uniform(0, 1, size=(2000, 3)).astype(np.float32)
+    lab = rng.integers(1, 20, size=2000).astype(np.float32)
+    cloud = np.concatenate([pts, lab[:, None]], 1)
+    out = voxel_downsample_np(cloud, 0.25, label_column=3)
+    coords = np.floor(pts.astype(np.float64) / 0.25).astype(np.int64)
+    coords -= coords.min(0)
+    dims = coords.max(0) + 1
+    keys = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    for i, k in enumerate(np.unique(keys)):
+        labs = lab[keys == k].astype(int)
+        vals, cnts = np.unique(labs, return_counts=True)
+        assert int(out[i, 3]) == vals[cnts == cnts.max()].max()
+        # non-label channels still mean-aggregated
+        np.testing.assert_allclose(out[i, :3], pts[keys == k].mean(0),
+                                   rtol=1e-5)
+
+
 def test_radius_matches_jit_matches_scipy_oracle(rng):
     """The in-graph tiled kernel must find the exact same (i, j) pair SET as
     the host scipy path when degree and capacity caps are not binding."""
