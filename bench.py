@@ -3,16 +3,33 @@
 Protocol mirrors the reference eval driver (/root/reference/test.py:56,384:
 batch 1, 18000 points, 5 registration iterations, inference mode), measured
 end-to-end INCLUDING the on-device KNN index-pyramid build (which the
-reference does on the host, untimed, in its collate_fn). Inputs are DISTINCT
-host numpy batches streamed through the device-prefetch pipeline the drivers
-use (deepsir_tpu/utils/prefetch.py): the host->device copy of pair i+1
-overlaps the device compute of pair i, exactly as in a sustained
-inference/serving sweep — the reference's torch-CPU baseline pays no
-transfer at all, so overlap (not exclusion) keeps the comparison honest.
-Batch sizes 1/2/4 are probed — bs 1 is the reference protocol, bs > 1 is
-the TPU design's batched throughput mode — and the best pairs/sec is the
-headline; the full sweep is recorded in the same JSON line. The persistent
-compile cache in .jax_cache/ amortizes compiles across driver rounds.
+reference does on the host, untimed, in its collate_fn) and the host->device
+transfer of every batch (the reference's torch-CPU baseline pays no transfer
+at all, so counting ours keeps the comparison honest).
+
+Measurement protocol (round 3 — replaces the threaded-prefetch stream):
+DISTINCT host numpy batches are dispatched back-to-back with a scalar token
+chained through `lax.optimization_barrier` from each call's output into the
+next call's input, so call i+1 cannot complete before call i. One final
+`jax.device_get` of the last token then provably fences the WHOLE stream
+with a single host round-trip. This matters here because every weaker fence
+is unsound on this relay-attached TPU (measured, CLAUDE.md):
+  - `block_until_ready` returns at dispatch, not completion (509 "pairs/sec");
+  - fetching only the last of N INDEPENDENT outputs leaves earlier calls
+    in flight (completion is out-of-order through the relay);
+  - fetching every output adds one ~30 ms relay RTT per pair of pure
+    measurement overhead (11.6 "pairs/sec" where the chain reads 20).
+Transfers still overlap compute: dispatch is async, so the relay copy of
+batch i+1 rides along the device compute of batch i without any host
+threads (the threaded device_prefetch was measured to STALL multi-second
+against a flaky relay — pairs/sec collapsed 20 -> 0.25-3 with run-to-run
+variance of 10x; see utils/prefetch.py docstring).
+
+Matmul precision is the config default ("highest" — full fp32 fidelity).
+Measured cost on this gather/HBM-bound forward: none (19.6-20.6 pairs/sec
+at either precision); measured benefit: the entire round-2 "iteration
+drift" (BASELINE.md — held-out success 0.69 -> 1.00 at the 5-iteration
+protocol slot).
 
 Baseline: the reference's pure-model forward measured on this machine by
 scripts/measure_reference_baseline.py -> BASELINE_measured.json.
@@ -33,12 +50,13 @@ BATCHES = (1, 2, 4) if N_POINTS <= 18000 else (1,)
 if os.environ.get("DEEPSIR_BENCH_BATCHES"):          # e.g. "1" or "1,2"
     BATCHES = tuple(int(b) for b in
                     os.environ["DEEPSIR_BENCH_BATCHES"].split(","))
-TIMED_REPS = 16          # ~1 s of timed work per config; the relay link
-                         # adds +-1 pair/sec of jitter at 8 reps
+TIMED_REPS = 16          # per trial; relay RTT spikes amortize over the chain
+TRIALS = 3               # median-of-trials guards against one-off stalls
 
 
 def main():
     import jax
+    import jax.numpy as jnp
     # persistent cache: the first driver run pays the ~30s-per-config remote
     # compile; later runs start hot
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -46,7 +64,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deepsir_tpu.config import Config, ModelConfig, replace
+    from deepsir_tpu.config import Config, ModelConfig, apply_matmul_precision
     from deepsir_tpu.models import ForwardOptions, Network
     from deepsir_tpu.training import device_batch
 
@@ -56,6 +74,7 @@ def main():
     model_cfg = ModelConfig(feat_len=4, num_points=N_POINTS,
                             num_reg_iter=N_ITERS, compute_dtype=dtype)
     cfg = Config(pipeline="align", model=model_cfg)
+    apply_matmul_precision(cfg)   # fp32-fidelity matmuls (the quality gap)
 
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=N_ITERS, clip_weight=True)
@@ -63,10 +82,9 @@ def main():
     rng = np.random.default_rng(0)
 
     # DEEPSIR_BENCH_TRANSFER=float16 halves the host->device relay bytes
-    # (the sustained bound) but was MEASURED to cost registration quality
-    # (128-pair held-out success 0.547 vs 0.688 at the 5-iter protocol —
-    # the correspondence search is precision-sensitive, BASELINE.md), so
-    # full-width fp32 stays the default
+    # but was MEASURED to cost registration quality (128-pair held-out
+    # success 0.547 vs 0.688 at the 5-iter protocol — the correspondence
+    # search is precision-sensitive, BASELINE.md), so fp32 stays default
     transfer = np.dtype(os.environ.get("DEEPSIR_BENCH_TRANSFER", "float32"))
 
     def make_arrays(batch):
@@ -88,34 +106,35 @@ def main():
         jax.random.PRNGKey(0), arrays1)
 
     @jax.jit
-    def fwd(params, arrays):
-        batch = device_batch(cfg, arrays)
+    def fwd(params, arrays, token):
+        # the barrier ties this call's inputs to the previous call's output
+        # token: the chain makes the single final fence sound (see module
+        # docstring) while leaving the h2d transfers free to overlap
+        pts, tok = jax.lax.optimization_barrier(
+            (jnp.asarray(arrays["points_src"]), token))
+        batch = device_batch(cfg, dict(arrays, points_src=pts))
         transforms, out = model.apply(params, batch, opts, train=False)
-        return transforms[-1], out.invalid
+        return transforms[-1], transforms[-1][0, 0, 0] + 0.0 * tok
 
     best = 0.0
     best_batch = 1
     sweep = {}
-    from deepsir_tpu.utils.prefetch import device_prefetch
 
     for i, batch in enumerate(BATCHES):
-        # DISTINCT host numpy batches streamed through the drivers' device
-        # prefetcher: transfers overlap compute as in a sustained sweep;
-        # the final block_until_ready fences everything (device-resident
-        # single-call timings are untrustworthy here — see CLAUDE.md)
-        feed = [make_arrays(batch) for _ in range(TIMED_REPS)]
         try:
-            out = fwd(params, feed[0])          # compile + warm up
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for dev in device_prefetch(feed):
-                out = fwd(params, dev)
-            # forced one-element readback: block_until_ready on a small
-            # output can return before the last pairs finish through the
-            # relay (async completion illusion, CLAUDE.md); one element
-            # through the host is a reliable fence, negligible over 16 reps
-            jax.device_get(out[0].ravel()[0])
-            dt = (time.perf_counter() - t0) / TIMED_REPS
+            tok = jnp.float32(0.0)
+            out, tok = fwd(params, make_arrays(batch), tok)  # compile + warm
+            jax.device_get(tok)
+            jax.device_get(out)        # warm the non-scalar d2h fetch path
+            times = []
+            for _ in range(TRIALS):
+                feed = [make_arrays(batch) for _ in range(TIMED_REPS)]
+                t0 = time.perf_counter()
+                for arrays in feed:
+                    out, tok = fwd(params, arrays, tok)
+                jax.device_get(tok)    # fences the whole chained stream
+                times.append((time.perf_counter() - t0) / TIMED_REPS)
+            dt = sorted(times)[len(times) // 2]
         except Exception:
             if i == 0:
                 raise                           # no silent zero-result bench

@@ -51,6 +51,8 @@ def derive_save_path(cfg) -> str:
 def main():
     args = eval_argument_parser().parse_args()
     cfg = config_from_args(args)
+    from deepsir_tpu.config import apply_matmul_precision
+    apply_matmul_precision(cfg)
     save_path = derive_save_path(cfg)
     os.makedirs(save_path, exist_ok=True)
     logger, _ = prepare_logger(cfg, log_path=save_path)

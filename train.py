@@ -149,6 +149,8 @@ def main():
     # no-op without the DEEPSIR_COORDINATOR / DEEPSIR_DISTRIBUTED env)
     from deepsir_tpu.parallel.distributed import initialize_from_env
     initialize_from_env()
+    from deepsir_tpu.config import apply_matmul_precision
+    apply_matmul_precision(cfg)
     logger, log_path = prepare_logger(cfg)
     if cfg.debug:
         enable_debug_mode()
