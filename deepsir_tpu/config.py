@@ -51,7 +51,18 @@ class ModelConfig:
     # checkpoint converges to ~0.5 deg on CPU but ~3 deg on TPU at default
     # precision. "highest" = full fp32 fidelity (3-pass bf16 on the MXU);
     # the forward is HBM-bound so the wall-clock cost is small.
-    matmul_precision: str = "highest" # 'default' | 'high' | 'highest' 
+    matmul_precision: str = "highest" # 'default' | 'high' | 'highest'
+    # scoped overrides for the two precision-INSENSITIVE hot subgraphs.
+    # The proven sensitivity is the DESCRIPTOR path (backbone matmuls):
+    # descriptor noise at default precision poisons the correspondence
+    # search (BASELINE.md round-3). The inlier RandLA (sigmoid weights into
+    # the Kabsch solve) and the matcher's own distance matmul (argmin over
+    # exact descriptors; deviations are near-tie swaps) were A/B'd at
+    # default precision with NO quality change (128-pair held-out: succ
+    # 1.000 / RRE 0.60 deg unchanged; robust rung unchanged) for ~25% less
+    # device time per pair — the registration scan runs every iteration.
+    inlier_matmul_precision: str = "default"
+    matcher_matmul_precision: str = "default"
     # registration loop
     num_train_reg_iter: int = 2
     num_reg_iter: int = 5
@@ -107,6 +118,9 @@ class DataConfig:
     # and costs no host KDTree time or relay transfer (~240 KB/step); the
     # list path stays as the cross-checkable alternative
     gt_match_lists: bool = False
+    # ICP-refine the Oxford test GT poses (reference oxford_loader.py:101-135;
+    # its own get_data keeps the call disabled, so parity default is off)
+    oxford_pose_refine: bool = False
     # Synthetic dataset split sizes (val stays fixed so training-time
     # checkpoint scores remain comparable across runs)
     synthetic_train_size: int = 256
@@ -277,6 +291,8 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    help="use host-computed GT match lists for the inlier BCE "
                         "(the reference's scheme) instead of the exact "
                         "in-graph geometric labels")
+    p.add_argument("--oxford_pose_refine", type=str2bool, default=False,
+                   help="ICP-refine Oxford test GT poses (cached on disk)")
     p.add_argument("--det_loss_weight", type=float, default=1.0)
     p.add_argument("--chamfer_loss_weight", type=float, default=0.0)
     p.add_argument("--feat_loss_weight", type=float, default=0.0)
@@ -306,6 +322,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--matcher_method", type=str, default="auto",
                    choices=["auto", "xla"])
     p.add_argument("--matmul_precision", type=str, default="highest",
+                   choices=["default", "high", "highest"])
+    p.add_argument("--inlier_matmul_precision", type=str, default="default",
+                   choices=["default", "high", "highest"])
+    p.add_argument("--matcher_matmul_precision", type=str, default="default",
                    choices=["default", "high", "highest"])
     p.add_argument("-bs", "--batch_size", type=int, default=1)
     p.add_argument("-nv", "--num_val", type=int, default=-1)
@@ -356,6 +376,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         knn_recall_target=getattr(args, "knn_recall_target", 0.95),
         matcher_method=getattr(args, "matcher_method", "auto"),
         matmul_precision=getattr(args, "matmul_precision", "highest"),
+        inlier_matmul_precision=getattr(args, "inlier_matmul_precision",
+                                        "default"),
+        matcher_matmul_precision=getattr(args, "matcher_matmul_precision",
+                                         "default"),
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,
         clip_weight_thresh=args.clip_weight_thresh,
         absolute_pose_solve=getattr(args, "absolute_pose_solve", False),
@@ -369,6 +393,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         trans_mag=args.trans_mag, num_val=args.num_val,
         num_workers=getattr(args, "num_workers", 8),
         gt_match_lists=getattr(args, "gt_match_lists", False),
+        oxford_pose_refine=getattr(args, "oxford_pose_refine", False),
         synthetic_train_size=getattr(args, "synthetic_train_size", 256),
         synthetic_eval_size=getattr(args, "synthetic_eval_size", 32),
         synthetic_noise=getattr(args, "synthetic_noise", 0.01),

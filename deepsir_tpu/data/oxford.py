@@ -5,6 +5,12 @@ Re-design of the reference's Oxford loader
 single frame twice (60% half-space crops) into a self-pair with identity GT;
 test pairs come from anchor/positive npy files with an xyz+quaternion GT
 pose. Crop r < 50 m, z in (-3, 20); voxel 0.3 m.
+
+`cfg.data.oxford_pose_refine` additionally refines the test GT by ICP on
+0.1 m-voxelized raw clouds, cached to `<root>/icp_refined_pose/` — the
+reference's Oxford.pose_refine (oxford_loader.py:101-135), which its own
+get_data keeps disabled (the call is commented out at line 179), so the
+flag defaults off for parity.
 """
 from __future__ import annotations
 
@@ -17,6 +23,7 @@ from deepsir_tpu.config import Config
 from deepsir_tpu.data.base import PairDataset
 from deepsir_tpu.data.transforms import halfspace_crop, process_point_cloud
 from deepsir_tpu.math import se3_np
+from deepsir_tpu.ops.icp import icp_np
 from deepsir_tpu.ops.voxel import voxel_downsample_np
 
 TRAIN_DIR = "train_np_nofilter"
@@ -47,6 +54,33 @@ class Oxford(PairDataset):
                 self.files = pickle.load(f)
         if cfg.data.num_val > 0 and split == "val":
             self.files = self.files[:cfg.data.num_val]
+
+        self.pose_refine_enabled = bool(
+            getattr(cfg.data, "oxford_pose_refine", False)) and split != "train"
+        if self.pose_refine_enabled:
+            self.icp_path = os.path.join(self.root_path, "icp_refined_pose")
+            os.makedirs(self.icp_path, exist_ok=True)
+
+    def pose_refine(self, xyz0: np.ndarray, xyz1: np.ndarray,
+                    t0, t1, m: np.ndarray,
+                    voxel_size: float = 0.1) -> np.ndarray:
+        """ICP-refine the xyzquat GT pose on the raw (pre-crop) clouds.
+
+        Mirrors the reference's Oxford.pose_refine (oxford_loader.py:101-135):
+        voxelize both clouds at 0.1 m, run point-to-point ICP (max corr
+        0.2 m, 200 iters) from the catalogue pose, cache the result per
+        (pos_idx, anc_idx) on disk. Composition via icp_np(init=m) is
+        delta @ m — the same convention as the KITTI GT refinement
+        (data/kitti.py).
+        """
+        cache_file = os.path.join(self.icp_path, f"{t0}_{t1}.npy")
+        if os.path.exists(cache_file):
+            return np.load(cache_file)
+        sub0 = voxel_downsample_np(xyz0[:, :3], voxel_size)
+        sub1 = voxel_downsample_np(xyz1[:, :3], voxel_size)
+        refined = icp_np(sub0, sub1, max_corr_dist=0.2, init=m, max_iter=200)
+        np.save(cache_file, refined)
+        return refined
 
     def _load_train_index(self):
         """Parse train_relative.txt: 'file | positives | non-negatives'
@@ -85,6 +119,8 @@ class Oxford(PairDataset):
                                         f"{anc_idx}.npy"))[:, :3]
             xyzquat = np.concatenate([entry["t"], entry["q"]], axis=0)
             gt = se3_np.xyzquat2mat(xyzquat)
+            if self.pose_refine_enabled:
+                gt = self.pose_refine(xyz0, xyz1, pos_idx, anc_idx, gt)
             meta = {"seq": None, "id_src": pos_idx, "id_ref": anc_idx}
 
         xyz0 = process_point_cloud(xyz0, r_min=0.0, r_max=50.0,

@@ -32,6 +32,18 @@ from deepsir_tpu.ops.pyramid import Pyramid
 from deepsir_tpu.ops.svd3 import weighted_kabsch
 
 
+def _matmul_precision(name: str):
+    """Trace-time scoped matmul precision (captured into the jaxpr).
+
+    The global default is 'highest' (full fp32 fidelity — the descriptor
+    path is precision-sensitive, BASELINE.md round 3); the inlier network
+    and the matcher distance matmul are A/B-verified insensitive and run
+    at cfg.{inlier,matcher}_matmul_precision (default: TPU-native bf16
+    passes) — together ~25% of device time per pair at 'highest'.
+    """
+    return jax.default_matmul_precision(name)
+
+
 class PairBatch(NamedTuple):
     """Static-shaped batch of cloud pairs (the device-side contract that
     replaces the reference's collate dict, data_base.py:196-219)."""
@@ -264,7 +276,8 @@ class Network(nn.Module):
         # positional branch (xyz neighbour gathers + 10-ch encoding + two
         # ConvUnits per level) is loop-invariant: compute it ONCE here —
         # XLA does not hoist these multi-MB fusions out of the scan itself
-        inlier_pos = self.inlier_model.pos_cache(batch.pyramid_src)
+        with _matmul_precision(cfg.inlier_matmul_precision):
+            inlier_pos = self.inlier_model.pos_cache(batch.pyramid_src)
         # mlp_feat over the backbone features is likewise loop-invariant
         ff_src = self.mlp_feat(feat_src0)
         if stop_frozen:
@@ -280,19 +293,21 @@ class Network(nn.Module):
                 fs = jax.lax.stop_gradient(fs)
             # correspondence search — integer output, no gradient flows;
             # under bf16 compute the fused matcher also runs bf16 operands
-            if mdl.matcher is not None:
-                idx = mdl.matcher(fs, fr)                         # (B, N)
-            else:
-                lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-                idx = nearest_neighbour_index(fs, fr, low_precision=lp,
-                                              method=cfg.matcher_method)
+            with _matmul_precision(cfg.matcher_matmul_precision):
+                if mdl.matcher is not None:
+                    idx = mdl.matcher(fs, fr)                     # (B, N)
+                else:
+                    lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+                    idx = nearest_neighbour_index(fs, fr, low_precision=lp,
+                                                  method=cfg.matcher_method)
             xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
 
             # learned inlier confidence over concatenated pair coordinates
             pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
-            _, inlier_logit = mdl.inlier_model(pair_feats, batch.pyramid_src,
-                                               train=train,
-                                               pos_cache=inlier_pos)
+            with _matmul_precision(cfg.inlier_matmul_precision):
+                _, inlier_logit = mdl.inlier_model(
+                    pair_feats, batch.pyramid_src, train=train,
+                    pos_cache=inlier_pos)
             inlier_logit = inlier_logit[..., 0]                   # (B, N)
             weights = jax.nn.sigmoid(inlier_logit)
             if opts.clip_weight and cfg.clip_weight_thresh > 0:

@@ -49,10 +49,13 @@ def _match_kernel(src_ref, refT_ref, ref_sq_ref, idx_out,
         best_i[:] = jnp.zeros_like(best_i)
 
     # |s - r|^2 = |s|^2 + |r|^2 - 2 s.r ; |s|^2 is constant per row -> skip.
-    # DEFAULT matmul precision: 2.1x faster than HIGHEST (2.1 ms vs 4.6 ms
-    # at 18000^2 x 64) at the cost of rounding-order differences vs the XLA
-    # path on near-tied neighbours (~0.6% of rows on random clouds, all
-    # equidistant alternatives — harmless under the learned inlier filter).
+    # The dot inherits the AMBIENT matmul precision at trace time — the
+    # model scopes it to cfg.matcher_matmul_precision (network.py). DEFAULT
+    # is 2.1x faster than HIGHEST (2.1 ms vs 4.6 ms at 18000^2 x 64) at the
+    # cost of rounding-order differences vs the XLA path on near-tied
+    # neighbours (~0.6% of rows on random clouds, all equidistant
+    # alternatives — harmless under the learned inlier filter; A/B'd at the
+    # 128-pair held-out with exact descriptors: quality unchanged).
     prod = jnp.dot(src_ref[:], refT_ref[:],
                    preferred_element_type=jnp.float32)       # (TQ, TR) on MXU
     d = ref_sq_ref[:] - 2.0 * prod

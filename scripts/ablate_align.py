@@ -39,7 +39,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deepsir_tpu.config import Config, ModelConfig
+    from deepsir_tpu.config import Config, ModelConfig, apply_matmul_precision
     from deepsir_tpu.models import ForwardOptions, Network
     from deepsir_tpu.ops.distance import nearest_neighbour_index
     from deepsir_tpu.ops.gather import gather_points
@@ -50,6 +50,7 @@ def main():
     m = ModelConfig(feat_len=4, num_points=args.points,
                     num_reg_iter=args.iters, compute_dtype=args.compute_dtype)
     cfg = Config(pipeline="align", model=m)
+    apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
 

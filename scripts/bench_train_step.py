@@ -33,7 +33,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deepsir_tpu.config import Config, ModelConfig
+    from deepsir_tpu.config import Config, ModelConfig, apply_matmul_precision
     from deepsir_tpu.training import (create_train_state, make_optimizer,
                                       make_train_step)
     from deepsir_tpu.utils.prefetch import device_prefetch
@@ -41,6 +41,7 @@ def main():
     cfg = Config(pipeline="align", model=ModelConfig(
         feat_len=4, num_points=args.points,
         compute_dtype=args.compute_dtype)).resolved()
+    apply_matmul_precision(cfg)
 
     rng = np.random.default_rng(0)
     b, n = args.batch, args.points

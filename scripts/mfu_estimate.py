@@ -45,7 +45,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deepsir_tpu.config import Config, ModelConfig
+    from deepsir_tpu.config import Config, ModelConfig, apply_matmul_precision
     from deepsir_tpu.models import ForwardOptions, Network
     from deepsir_tpu.training import device_batch
 
@@ -53,6 +53,7 @@ def main():
                             num_reg_iter=args.iters,
                             compute_dtype=args.compute_dtype)
     cfg = Config(pipeline="align", model=model_cfg)
+    apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
 

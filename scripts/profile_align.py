@@ -32,13 +32,18 @@ def capture(args, trace_dir):
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deepsir_tpu.config import Config, ModelConfig
+    from deepsir_tpu.config import Config, ModelConfig, apply_matmul_precision
     from deepsir_tpu.models import ForwardOptions, Network
     from deepsir_tpu.training import device_batch
 
     cfg = Config(pipeline="align", model=ModelConfig(
         feat_len=4, num_points=args.points, num_reg_iter=args.iters,
         compute_dtype=args.compute_dtype))
+    if args.matmul_precision:
+        from deepsir_tpu.config import replace
+        cfg = replace(cfg, model=replace(cfg.model,
+                                         matmul_precision=args.matmul_precision))
+    apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
     rng = np.random.default_rng(0)
@@ -133,6 +138,9 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--matmul_precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="override the config default for A/B profiling")
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()
     # ALWAYS start from an empty dir: summarize() sums every xplane file it

@@ -183,6 +183,61 @@ def test_oxford_test_gt_quaternion(oxford_tree):
     assert np.median(d) < 0.5, np.median(d)
 
 
+def test_oxford_pose_refine(tmp_path):
+    """Flag-gated ICP GT refinement (reference oxford_loader.py:101-135):
+    a perturbed catalogue pose must be pulled back onto the true pose and
+    the result cached to <root>/icp_refined_pose/."""
+    from scipy.spatial.transform import Rotation
+    from deepsir_tpu.data.oxford import Oxford, TEST_DIR
+
+    rng = np.random.default_rng(11)
+    root = tmp_path / "Oxford"
+    test_dir = root / TEST_DIR
+    test_dir.mkdir(parents=True)
+
+    cloud = make_world(rng, 5000)
+    ang = 0.1
+    gt = np.eye(4)
+    gt[:3, :3] = [[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    gt[:3, 3] = [1.0, 0.5, 0.1]
+    np.save(str(test_dir / "0.npy"), cloud)
+    np.save(str(test_dir / "1.npy"),
+            se3_np.transform(gt, cloud).astype(np.float32))
+    # catalogue pose = true pose perturbed by ~0.1 deg / 3 cm — inside the
+    # 0.2 m ICP correspondence gate at the fixture's 45 m radius
+    perturbed = gt.copy()
+    perturbed[:3, :3] = Rotation.from_euler("z", 0.1, degrees=True
+                                            ).as_matrix() @ gt[:3, :3]
+    perturbed[:3, 3] += [0.03, -0.02, 0.01]
+    q = Rotation.from_matrix(perturbed[:3, :3]).as_quat()   # xyzw
+    entry = {"pos_idx": 0, "anc_idx": 1, "t": perturbed[:3, 3],
+             "q": np.array([q[3], q[0], q[1], q[2]])}       # wxyz
+    with open(str(test_dir / "groundtruths.pkl"), "wb") as f:
+        pickle.dump([entry], f)
+
+    cfg = tiny_cfg(root, "Oxford")
+    cfg = replace(cfg, data=replace(cfg.data, oxford_pose_refine=True))
+    ds = Oxford(cfg, split="test")
+    _, _, refined, _ = ds.get_pair(0)
+
+    def rot_err_deg(a, b):
+        c = (np.trace(a[:3, :3].T @ b[:3, :3]) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    assert rot_err_deg(refined, gt) < 0.02 < rot_err_deg(perturbed, gt)
+    assert np.linalg.norm(refined[:3, 3] - gt[:3, 3]) < 0.01
+
+    # cached on disk; a fresh reader must serve the cache, not re-run ICP
+    cache = os.path.join(str(root), "icp_refined_pose", "0_1.npy")
+    assert os.path.exists(cache)
+    sentinel = np.full((4, 4), 7.0)
+    np.save(cache, sentinel)
+    ds2 = Oxford(cfg, split="test")
+    _, _, again, _ = ds2.get_pair(0)
+    np.testing.assert_array_equal(again, sentinel)
+
+
 def test_semantic_kitti_remap():
     from deepsir_tpu.data.semantic_kitti import remap_labels
     raw = np.array([0, 10, 252, 259, 30, 81])
