@@ -42,32 +42,55 @@ class Pyramid(NamedTuple):
 
 def _build_single(xyz: jnp.ndarray, num_knn: int,
                   ratios: Tuple[int, ...], chunk: int,
-                  recall_target: float) -> Pyramid:
+                  recall_target: float, sample: str,
+                  window_halo: int) -> Pyramid:
     xyzs, neighs, pools, interps = [], [], [], []
     pc = xyz
     for r in ratios:
         n_next = pc.shape[0] // r
         neigh, _ = knn(pc, pc, num_knn, chunk=chunk,
-                       recall_target=recall_target)          # (Nl, K)
-        sub = pc[:n_next]                                    # random sample
+                       recall_target=recall_target,
+                       window_halo=window_halo)              # (Nl, K)
+        if sample == "strided":
+            # every r-th point of a curve-sorted cloud: a spatially uniform
+            # sample that KEEPS the curve order, so windowed kernels stay
+            # valid at every level (first-N of a sorted cloud would be a
+            # spatial corner, not a uniform sample)
+            sub = pc[::r][:n_next]
+            pool = neigh[::r][:n_next]
+        else:
+            sub = pc[:n_next]                                # random sample
+            pool = neigh[:n_next]
         up, _ = knn(pc, sub, 1, chunk=chunk,
-                    recall_target=recall_target)             # (Nl, 1)
+                    recall_target=recall_target,
+                    window_halo=window_halo)                 # (Nl, 1)
         xyzs.append(pc)
         neighs.append(neigh)
-        pools.append(neigh[:n_next])                         # (N{l+1}, K)
+        pools.append(pool)                                   # (N{l+1}, K)
         interps.append(up[:, 0])
         pc = sub
     return Pyramid(tuple(xyzs), tuple(neighs), tuple(pools), tuple(interps))
 
 
 @partial(jax.jit, static_argnames=("num_knn", "ratios", "chunk",
-                                   "recall_target"))
+                                   "recall_target", "sample", "window_halo"))
 def build_pyramid(xyz: jnp.ndarray, num_knn: int = 16,
                   ratios: Tuple[int, ...] = (4, 4, 4, 4),
                   chunk: int = 1024,
-                  recall_target: float = 0.95) -> Pyramid:
-    """Build the index pyramid for a cloud (N, 3) or batch (B, N, 3)."""
+                  recall_target: float = 0.95,
+                  sample: str = "first",
+                  window_halo: int = 0) -> Pyramid:
+    """Build the index pyramid for a cloud (N, 3) or batch (B, N, 3).
+
+    sample="first" implements the reference's first-N-of-a-shuffled-cloud
+    random subsample (module docstring). sample="strided" takes every r-th
+    point instead — the correct uniform sample for CURVE-SORTED clouds
+    (ops/morton.py), where it also preserves the sort at every level so
+    `window_halo` > 0 can restrict the per-level KNN searches to curve-rank
+    windows (ops/window.py).
+    """
     fn = _build_single
     for _ in range(xyz.ndim - 2):
-        fn = jax.vmap(fn, in_axes=(0, None, None, None, None))
-    return fn(xyz, num_knn, tuple(ratios), chunk, recall_target)
+        fn = jax.vmap(fn, in_axes=(0, None, None, None, None, None, None))
+    return fn(xyz, num_knn, tuple(ratios), chunk, recall_target, sample,
+              window_halo)
