@@ -4,12 +4,35 @@ TPU-native replacements for the reference's torch.gather idioms
 (/root/reference/network/tools.py:183-233 gather_neighbour*,
 /root/reference/network/RandLANet.py:374-408 random_sample /
 nearest_interpolation). All functions are channel-last ([..., N, C]) — the
-natural layout for feeding the MXU with (points x channels) matmuls — and
-broadcast over leading batch dims via take_along_axis so they vmap cleanly.
+natural layout for feeding the MXU with (points x channels) matmuls.
+
+Batch dims are FLATTENED into the row dimension with offset indices before
+the gather: a batched take_along_axis lowers to XLA's batched-gather, which
+runs ~3.5x slower on TPU than the identical flat row gather (measured
+in-graph at (2, 18000, 16) x C=67: 3.32 ms batched vs 0.94 ms flat — the
+batch dims force a slower per-row emitter even at batch 1). The flat form
+is bit-identical and differentiates to the same scatter-add.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def _flat_rows(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Core row gather: values (..., N, C) x idx (..., M) -> (..., M, C),
+    with leading batch dims folded into one flat row axis."""
+    *batch, n, c = values.shape
+    m = idx.shape[-1]
+    if not batch:
+        return jnp.take_along_axis(values, idx[:, None], axis=0)
+    b = 1
+    for d in batch:
+        b *= d
+    vf = values.reshape(b * n, c)
+    off = jnp.arange(b, dtype=idx.dtype).reshape(*batch, 1) * n
+    flat = (idx + off).reshape(b * m)
+    out = jnp.take_along_axis(vf, flat[:, None], axis=0)
+    return out.reshape(*batch, m, c)
 
 
 def gather_points(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -18,7 +41,7 @@ def gather_points(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     values: (..., N, C); idx: (..., M) int -> (..., M, C)
     (reference tools.gather_neighbour_V3, channel-last)
     """
-    return jnp.take_along_axis(values, idx[..., None], axis=-2)
+    return _flat_rows(values, idx)
 
 
 def gather_neighbour(values: jnp.ndarray, neigh_idx: jnp.ndarray) -> jnp.ndarray:
@@ -29,7 +52,7 @@ def gather_neighbour(values: jnp.ndarray, neigh_idx: jnp.ndarray) -> jnp.ndarray
     """
     *batch, m, k = neigh_idx.shape
     flat = neigh_idx.reshape(*batch, m * k)
-    out = jnp.take_along_axis(values, flat[..., None], axis=-2)
+    out = _flat_rows(values, flat)
     return out.reshape(*batch, m, k, values.shape[-1])
 
 
