@@ -133,6 +133,18 @@ class PairDataset:
         n0_raw, n1_raw = len(cloud0), len(cloud1)
         cloud0, cloud1, gt = self.augment_pair(rng, cloud0, cloud1, gt)
 
+        if self.cfg.model.pyramid_order == "morton":
+            # curve-sort the clouds (all columns ride the permutation) so
+            # the on-device pyramid can use strided sampling + windowed
+            # per-level KNN (ops/pyramid.py, ops/window.py). Masked val/test
+            # clouds sort only their valid prefix — the padding rows past
+            # n_raw must stay where the mask expects them.
+            from deepsir_tpu.ops.morton import morton_order_np
+            for c, n_raw in ((cloud0, n0_raw), (cloud1, n1_raw)):
+                nv = len(c) if self.split == "train" \
+                    else min(n_raw, len(c))
+                c[:nv] = c[:nv][morton_order_np(c[:nv, :3])]
+
         sample: Dict = {
             "points_src": cloud0[:, :self.feat_len].astype(np.float32),
             "points_ref": cloud1[:, :self.feat_len].astype(np.float32),

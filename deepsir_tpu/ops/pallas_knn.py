@@ -186,3 +186,111 @@ def knn_topk(query: jnp.ndarray, ref: jnp.ndarray, k: int):
     for _ in range(query.ndim - 2):
         fn = jax.vmap(fn, in_axes=(0, 0))
     return fn(query, ref)
+
+
+# ---------------------------------------------------------------- windowed
+
+def supported_windowed(m: int, d: int, k: int) -> bool:
+    return supported(m, d, k)
+
+
+def _knn_windowed_kernel(q_ref, rT_ref, idx_out, dist_out, cand_buf,
+                         *, k: int, d_real: int, m_real: int, width: int,
+                         start_block, vb: int, idx_mask: int):
+    """Grid (i, j): query tile i vs window block j of its curve-rank window.
+
+    Identical distance/key scheme to _knn_kernel, but the ref operand walks
+    only the `width` blocks starting at start_block(i) (ops/window.py — the
+    SAME formula the gather kernels use, so every returned index lands in
+    the consumers' value windows). Selection keeps every in-window column
+    (cand_buf holds the full window) and is exact within it.
+    """
+    j = pl.program_id(1)
+    b0 = start_block(pl.program_id(0))
+
+    q = q_ref[:]
+    nq = q.shape[0]
+    acc = jnp.zeros((nq, vb), jnp.float32)
+    for dd in range(d_real):
+        diff = q[:, dd:dd + 1] - rT_ref[dd:dd + 1, :]
+        acc = acc + diff * diff
+
+    gcol = (b0 + j) * vb + jax.lax.broadcasted_iota(jnp.int32, (nq, vb), 1)
+    key_mask = np.int32(~idx_mask)
+    key = (pltpu.bitcast(acc, jnp.int32) & key_mask) | gcol
+    key = jnp.where(gcol >= m_real, _KEY_MAX, key)
+    cand_buf[:, pl.dslice(j * vb, vb)] = key
+
+    @pl.when(j == width - 1)
+    def _():
+        buf = cand_buf[:]
+        mins = []
+        for _ in range(k):
+            m = jnp.min(buf, axis=1, keepdims=True)
+            mins.append(m)
+            buf = jnp.where(buf == m, _KEY_MAX, buf)
+        best = jnp.concatenate(mins, axis=1)
+        idx_out[:] = best & idx_mask
+        dist_out[:] = pltpu.bitcast(best & key_mask, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "halo"))
+def knn_topk_windowed_single(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                             halo: int):
+    """Curve-rank-windowed fused KNN: (N, D) x (M, D) -> (N, k) x2.
+
+    Requires curve-sorted inputs (ops/morton.py). Exact within the
+    ops/window.py window (distances quantized as in knn_topk_single);
+    recall vs unrestricted search is the measured window coverage.
+    """
+    from deepsir_tpu.ops.window import TQ, VB, window_geometry, windowed
+    n0, d = query.shape
+    m0 = ref.shape[0]
+    assert supported_windowed(m0, d, k) and windowed(n0, m0, halo), \
+        (m0, d, k, halo)
+    width, start_block = window_geometry(n0, m0, halo)
+    q = _pad_axis(_pad_axis(query.astype(jnp.float32), 0, TQ), 1, DIM_PAD)
+    rT = _pad_axis(_pad_axis(ref.astype(jnp.float32).T, 0, DIM_PAD), 1, VB)
+    n = q.shape[0]
+    m = rT.shape[1]
+    grid = (n // TQ, width)
+
+    kernel = partial(_knn_windowed_kernel, k=k, d_real=d, m_real=m0,
+                     width=width, start_block=start_block, vb=VB,
+                     idx_mask=(1 << _idx_bits(m)) - 1)
+    idx, dist = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, DIM_PAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DIM_PAD, VB),
+                         lambda i, j: (0, start_block(i) + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TQ, VB * width), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * width * VB * d,
+            bytes_accessed=(n + width * VB) * DIM_PAD * 4 + n * k * 8,
+            transcendentals=0),
+    )(q, rT)
+    return idx[:n0], dist[:n0]
+
+
+def knn_topk_windowed(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+                      halo: int):
+    """Batched wrapper: (..., N, D) x (..., M, D) -> (..., N, k) x2."""
+    fn = partial(knn_topk_windowed_single, k=k, halo=halo)
+    for _ in range(query.ndim - 2):
+        fn = jax.vmap(fn, in_axes=(0, 0))
+    return fn(query, ref)

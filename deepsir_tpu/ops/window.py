@@ -18,8 +18,9 @@ pool gather one level down). Everything is static per grid step — the
 formula runs on grid indices inside BlockSpec index_maps.
 
 Recall ceiling measured on protocol clouds (scripts/morton_recall.py,
-Morton order, 18000 pts, k=16): halo 8 -> self-KNN 0.96 / interp 0.99+ at
-level 0, exact at depth; halo counts value blocks of VB=128 rows.
+Morton order, 18000 pts, k=16, VB=512): level-0 self-KNN 0.951 / interp
+0.991 at halo 1, 0.964 / 0.995 at halo 2; exact at depth (windows cover
+the small deep levels entirely).
 """
 from __future__ import annotations
 
@@ -28,7 +29,10 @@ from typing import Callable, Tuple
 import jax.numpy as jnp
 
 TQ = 128      # query rows per tile — shared by every windowed kernel
-VB = 128      # value rows per window block
+VB = 512      # value rows per window block: at equal window size, larger
+              # blocks lose less recall to centring (0.951 vs 0.875 for a
+              # ~1536-row window, scripts/morton_recall.py --vb) and cost
+              # fewer grid steps; 512 keeps gather value blocks VMEM-sized
 
 
 def num_blocks(n: int, vb: int = VB) -> int:

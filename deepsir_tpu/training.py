@@ -109,10 +109,14 @@ def device_batch(cfg: Config, arrays: Dict[str, np.ndarray]) -> PairBatch:
         # here — see BASELINE.md); all math runs fp32 after this upcast
         src = src.astype(jnp.float32)
         ref = ref.astype(jnp.float32)
+    sample = "strided" if m.pyramid_order == "morton" else "first"
+    halo = m.knn_window_halo if m.pyramid_order == "morton" else 0
     pyr_src = build_pyramid(src[..., :3], m.num_knn, m.sub_sampling_ratio,
-                            recall_target=m.knn_recall_target)
+                            recall_target=m.knn_recall_target,
+                            sample=sample, window_halo=halo)
     pyr_ref = build_pyramid(ref[..., :3], m.num_knn, m.sub_sampling_ratio,
-                            recall_target=m.knn_recall_target)
+                            recall_target=m.knn_recall_target,
+                            sample=sample, window_halo=halo)
     return PairBatch(
         points_src=src, points_ref=ref,
         pyramid_src=pyr_src, pyramid_ref=pyr_ref,

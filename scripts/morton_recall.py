@@ -21,7 +21,7 @@ sys.path.insert(0, ".")
 from deepsir_tpu.ops.morton import hilbert_order_np, morton_order_np  # noqa: E402
 
 TQ = 128
-VB = 128
+VB = 128   # overridden by --vb
 
 
 def synthetic_cloud(rng, n):
@@ -73,11 +73,14 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--clouds", type=int, default=4)
     ap.add_argument("--halos", type=int, nargs="+", default=[1, 2, 4, 8, 16])
+    ap.add_argument("--vb", type=int, default=128)
     ap.add_argument("--order", default="morton",
                     choices=["morton", "hilbert"])
     ap.add_argument("--generator", default="lidar",
                     choices=["lidar", "protocol"])
     args = ap.parse_args()
+    global VB
+    VB = args.vb
 
     rng = np.random.default_rng(0)
     ratios = (4, 4, 4, 4)

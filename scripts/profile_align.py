@@ -39,10 +39,14 @@ def capture(args, trace_dir):
     cfg = Config(pipeline="align", model=ModelConfig(
         feat_len=4, num_points=args.points, num_reg_iter=args.iters,
         compute_dtype=args.compute_dtype))
+    from deepsir_tpu.config import replace
     if args.matmul_precision:
-        from deepsir_tpu.config import replace
         cfg = replace(cfg, model=replace(cfg.model,
                                          matmul_precision=args.matmul_precision))
+    if args.pyramid_order != "shuffled":
+        cfg = replace(cfg, model=replace(cfg.model,
+                                         pyramid_order=args.pyramid_order,
+                                         knn_window_halo=args.halo))
     apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
@@ -57,6 +61,12 @@ def capture(args, trace_dir):
              rng.uniform(size=(b, n, 1)).astype(np.float32)], -1),
         "transform_gt": np.tile(np.eye(3, 4, dtype=np.float32), (b, 1, 1)),
     }
+    if cfg.model.pyramid_order == "morton":
+        from deepsir_tpu.ops.morton import morton_order_np
+        for key in ("points_src", "points_ref"):
+            for bb in range(b):
+                arrays[key][bb] = arrays[key][bb][
+                    morton_order_np(arrays[key][bb, :, :3])]
     params = jax.jit(lambda r, a: model.init(r, device_batch(cfg, a), opts))(
         jax.random.PRNGKey(0), arrays)
 
@@ -141,6 +151,9 @@ if __name__ == "__main__":
     ap.add_argument("--matmul_precision", default=None,
                     choices=["default", "high", "highest"],
                     help="override the config default for A/B profiling")
+    ap.add_argument("--pyramid_order", default="shuffled",
+                    choices=["shuffled", "morton"])
+    ap.add_argument("--halo", type=int, default=1)
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()
     # ALWAYS start from an empty dir: summarize() sums every xplane file it
