@@ -63,6 +63,14 @@ class ModelConfig:
     # device time per pair — the registration scan runs every iteration.
     inlier_matmul_precision: str = "default"
     matcher_matmul_precision: str = "default"
+    # Activation dtype for the inlier RandLA ONLY (same precision-insensitive
+    # subgraph as inlier_matmul_precision; it runs 5x per pair inside the
+    # registration scan and the forward is HBM-bound, so halving its
+    # activation bytes attacks the largest remaining device cost). Params
+    # stay fp32 (flax param_dtype) so checkpoints load unchanged; the logit
+    # is cast back to fp32 before the sigmoid/Kabsch. Quality-gated like
+    # every numerics knob: flip only with a clean 128-pair held-out A/B.
+    inlier_compute_dtype: str = "float32"
     # Point-order mode. "shuffled": the reference contract (loader shuffles,
     # pyramid subsamples first-N — ops/pyramid.py docstring). "morton": the
     # data layer sorts each cloud along a Morton curve (ops/morton.py), the
@@ -337,6 +345,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    choices=["default", "high", "highest"])
     p.add_argument("--matcher_matmul_precision", type=str, default="default",
                    choices=["default", "high", "highest"])
+    p.add_argument("--inlier_compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation dtype for the inlier RandLA only "
+                        "(precision-insensitive subgraph; params stay fp32)")
     p.add_argument("--pyramid_order", type=str, default="shuffled",
                    choices=["shuffled", "morton"],
                    help="morton: curve-sort clouds + windowed per-level KNN")
@@ -394,6 +406,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
                                         "default"),
         matcher_matmul_precision=getattr(args, "matcher_matmul_precision",
                                          "default"),
+        inlier_compute_dtype=getattr(args, "inlier_compute_dtype", "float32"),
         pyramid_order=getattr(args, "pyramid_order", "shuffled"),
         knn_window_halo=getattr(args, "knn_window_halo", 1),
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,

@@ -138,12 +138,19 @@ class PairDataset:
             # the on-device pyramid can use strided sampling + windowed
             # per-level KNN (ops/pyramid.py, ops/window.py). Masked val/test
             # clouds sort only their valid prefix — the padding rows past
-            # n_raw must stay where the mask expects them.
+            # n_raw must stay where the mask expects them. Rebinds instead of
+            # writing in place: fixed_resample can return a VIEW of the
+            # cached raw pair for large clouds, and the cache must stay raw.
             from deepsir_tpu.ops.morton import morton_order_np
-            for c, n_raw in ((cloud0, n0_raw), (cloud1, n1_raw)):
-                nv = len(c) if self.split == "train" \
-                    else min(n_raw, len(c))
-                c[:nv] = c[:nv][morton_order_np(c[:nv, :3])]
+
+            def _curve_sort(c, n_raw):
+                nv = len(c) if self.split == "train" else min(n_raw, len(c))
+                head = c[:nv][morton_order_np(c[:nv, :3])]
+                return head if nv == len(c) else np.concatenate(
+                    [head, c[nv:]], axis=0)
+
+            cloud0 = _curve_sort(cloud0, n0_raw)
+            cloud1 = _curve_sort(cloud1, n1_raw)
 
         sample: Dict = {
             "points_src": cloud0[:, :self.feat_len].astype(np.float32),

@@ -129,7 +129,13 @@ class Network(nn.Module):
             # second RandLA over [src_xyz ; matched_ref_xyz] -> 1 logit/point
             # (reference model.py:191-193)
             from deepsir_tpu.config import replace as cfg_replace
-            inlier_cfg = cfg_replace(cfg, feat_len=6, use_ppf=False)
+            # the inlier net optionally runs bf16 activations (params stay
+            # fp32, so checkpoints are unaffected): it is the A/B-proven
+            # precision-INSENSITIVE subgraph (see inlier_matmul_precision)
+            # and the scan's largest per-iteration cost on an HBM-bound
+            # forward — halving its activation bytes is pure wall-clock
+            inlier_cfg = cfg_replace(cfg, feat_len=6, use_ppf=False,
+                                     compute_dtype=cfg.inlier_compute_dtype)
             self.inlier_model = RandLA(inlier_cfg, num_classes=1)
 
     # ------------------------------------------------------------------ core
@@ -308,7 +314,9 @@ class Network(nn.Module):
                 _, inlier_logit = mdl.inlier_model(
                     pair_feats, batch.pyramid_src, train=train,
                     pos_cache=inlier_pos)
-            inlier_logit = inlier_logit[..., 0]                   # (B, N)
+            # fp32 from here on: the sigmoid weights feed the Kabsch solve
+            # and the training BCE (bf16 activations stop at the logit)
+            inlier_logit = inlier_logit[..., 0].astype(jnp.float32)  # (B, N)
             weights = jax.nn.sigmoid(inlier_logit)
             if opts.clip_weight and cfg.clip_weight_thresh > 0:
                 weights = jnp.where(weights < cfg.clip_weight_thresh,

@@ -47,6 +47,9 @@ def capture(args, trace_dir):
         cfg = replace(cfg, model=replace(cfg.model,
                                          pyramid_order=args.pyramid_order,
                                          knn_window_halo=args.halo))
+    if args.inlier_compute_dtype != "float32":
+        cfg = replace(cfg, model=replace(
+            cfg.model, inlier_compute_dtype=args.inlier_compute_dtype))
     apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
@@ -154,6 +157,8 @@ if __name__ == "__main__":
     ap.add_argument("--pyramid_order", default="shuffled",
                     choices=["shuffled", "morton"])
     ap.add_argument("--halo", type=int, default=1)
+    ap.add_argument("--inlier_compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()
     # ALWAYS start from an empty dir: summarize() sums every xplane file it

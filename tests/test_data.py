@@ -85,6 +85,49 @@ def test_synthetic_sample_contract(rng):
     assert np.all(d < TINY_CFG.data.thres_radius + 1e-5)
 
 
+def test_morton_mode_sorts_samples(rng):
+    """pyramid_order=morton: the data layer serves curve-sorted clouds
+    (prerequisite for strided subsampling + windowed KNN), and a masked
+    val/test cloud sorts only its valid prefix — tile-padding rows stay
+    past n_raw where the mask expects them."""
+    from deepsir_tpu.ops.morton import morton_code_np
+    cfg = replace(TINY_CFG, model=replace(TINY_CFG.model,
+                                          pyramid_order="morton"))
+    ds = SyntheticPairs(cfg, "train", size=4)
+    s = ds.get_sample(0, rng)
+    for key in ("points_src", "points_ref"):
+        codes = morton_code_np(s[key][:, :3])
+        assert np.all(np.diff(codes) >= 0), key
+
+    # masked case: a raw pair smaller than num_points -> sorted prefix,
+    # padding tail left as tile-copies (mask contract, data/base.py)
+    class TinyPair(ds.__class__.__mro__[1]):   # PairDataset
+        random_rotation = False
+        random_jitter = False
+
+        def __init__(self, cfg, split, cloud):
+            super().__init__(cfg, split)
+            self.cloud = cloud
+
+        def __len__(self):
+            return 1
+
+        def get_pair(self, idx):
+            return self.cloud.copy(), self.cloud.copy(), np.eye(4), {}
+
+    small = rng.normal(size=(100, 3)).astype(np.float32)
+    ds2 = TinyPair(cfg, "test", small)
+    s2 = ds2.get_sample(0, rng)
+    pts = s2["points_src"]
+    assert s2["mask_src"].sum() == 100
+    codes = morton_code_np(pts[:100, :3])
+    assert np.all(np.diff(codes) >= 0)
+    # the tail is tile-padding of the RAW (unsorted) cloud, untouched
+    np.testing.assert_array_equal(pts[100:200], small)
+    # and the raw pair cache was not mutated by the sort
+    np.testing.assert_array_equal(ds2._cached_pair(0)[0], small)
+
+
 def test_loader_batches():
     ds = SyntheticPairs(TINY_CFG, "train", size=5)
     loader = Loader(ds, batch_size=2, shuffle=True, num_workers=2)

@@ -103,6 +103,31 @@ def test_forward_align_bf16_compute(rng):
     np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=0.15)
 
 
+def test_forward_align_bf16_inlier_only(rng):
+    """inlier_compute_dtype=bfloat16 scopes bf16 activations to the inlier
+    RandLA only: same param tree (fp32 — checkpoints load unchanged), fp32
+    logits/transforms out, and poses matching the fp32 path to rounding
+    tolerance (the subgraph is the A/B-proven precision-insensitive one)."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg16 = dc_replace(TINY, inlier_compute_dtype="bfloat16")
+    m32 = Network(TINY, pipeline="align")
+    m16 = Network(cfg16, pipeline="align")
+    params = m32.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    params16 = m16.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params16))
+    for leaf in jax.tree_util.tree_leaves(params16):
+        assert leaf.dtype in (jnp.float32, jnp.int32)
+    t32, _ = m32.apply(params, batch, ForwardOptions(num_iter=2))
+    t16, out16 = m16.apply(params, batch, ForwardOptions(num_iter=2))
+    assert t16.dtype == jnp.float32
+    assert out16.inlier_logits.dtype == jnp.float32
+    # only the inlier weights round; descriptors/matching are bit-identical,
+    # so poses sit much closer than the all-bf16 tolerance (0.15)
+    np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=0.05)
+
+
 def test_forward_align_gradients_flow_to_inlier_net(rng):
     batch = make_batch(rng)
     model = Network(TINY, pipeline="align")
