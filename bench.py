@@ -71,8 +71,15 @@ def main():
     # compute dtype knob for A/B runs (BASELINE.md fp32-vs-bf16 table);
     # default fp32 = the validated flagship configuration
     dtype = os.environ.get("DEEPSIR_BENCH_DTYPE", "float32")
-    model_cfg = ModelConfig(feat_len=4, num_points=N_POINTS,
-                            num_reg_iter=N_ITERS, compute_dtype=dtype)
+    # two quality-gated opt-in perf knobs for A/B runs (BASELINE.md):
+    # bf16 activations scoped to the inlier RandLA, and the coarse-refine
+    # iteration split (iterations >=2 on every stride-th source point)
+    model_cfg = ModelConfig(
+        feat_len=4, num_points=N_POINTS,
+        num_reg_iter=N_ITERS, compute_dtype=dtype,
+        inlier_compute_dtype=os.environ.get("DEEPSIR_BENCH_INLIER_DTYPE",
+                                            "float32"),
+        refine_stride=int(os.environ.get("DEEPSIR_BENCH_REFINE_STRIDE", "1")))
     cfg = Config(pipeline="align", model=model_cfg)
     apply_matmul_precision(cfg)   # fp32-fidelity matmuls (the quality gap)
 

@@ -71,6 +71,14 @@ class ModelConfig:
     # is cast back to fp32 before the sigmoid/Kabsch. Quality-gated like
     # every numerics knob: flip only with a clean 128-pair held-out A/B.
     inlier_compute_dtype: str = "float32"
+    # Coarse-refine iteration split (opt-in, eval-only; 1 = reference
+    # behavior). >1: registration iteration 1 runs at full N, iterations
+    # 2..K on every stride-th source point (a uniform subsample under both
+    # point-order contracts) with an in-graph subset pyramid — the
+    # near-converged refinement needs far fewer correspondences than the
+    # initial alignment, and the per-iteration inlier RandLA + matcher cost
+    # drops ~stride-fold. Quality-gate before flipping (128-pair held-out).
+    refine_stride: int = 1
     # Point-order mode. "shuffled": the reference contract (loader shuffles,
     # pyramid subsamples first-N — ops/pyramid.py docstring). "morton": the
     # data layer sorts each cloud along a Morton curve (ops/morton.py), the
@@ -349,6 +357,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"],
                    help="activation dtype for the inlier RandLA only "
                         "(precision-insensitive subgraph; params stay fp32)")
+    p.add_argument("--refine_stride", type=int, default=1,
+                   help="eval-only: run registration iterations >=2 on every "
+                        "stride-th source point (1 = full cloud every "
+                        "iteration, the reference scheme)")
     p.add_argument("--pyramid_order", type=str, default="shuffled",
                    choices=["shuffled", "morton"],
                    help="morton: curve-sort clouds + windowed per-level KNN")
@@ -407,6 +419,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         matcher_matmul_precision=getattr(args, "matcher_matmul_precision",
                                          "default"),
         inlier_compute_dtype=getattr(args, "inlier_compute_dtype", "float32"),
+        refine_stride=getattr(args, "refine_stride", 1),
         pyramid_order=getattr(args, "pyramid_order", "shuffled"),
         knn_window_halo=getattr(args, "knn_window_halo", 1),
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,

@@ -291,66 +291,95 @@ class Network(nn.Module):
 
         # every registration iteration runs the same subgraph with the same
         # weights, so it compiles ONCE as an nn.scan body (the reference
-        # unrolls a python loop, model.py:551-601)
-        def iter_body(mdl, carry, _):
-            xyz_src, cum, invalid = carry
-            fs = mdl.aggregate_moving(xyz_src, score_src, ff_src)
-            if stop_frozen:
-                fs = jax.lax.stop_gradient(fs)
-            # correspondence search — integer output, no gradient flows;
-            # under bf16 compute the fused matcher also runs bf16 operands
-            with _matmul_precision(cfg.matcher_matmul_precision):
-                if mdl.matcher is not None:
-                    idx = mdl.matcher(fs, fr)                     # (B, N)
+        # unrolls a python loop, model.py:551-601). The body is built by a
+        # factory over its per-cloud context so the refine_stride path below
+        # can run the SAME weights over a strided subset of the source.
+        def make_body(xyz0, score, ff, pyramid, pos_cache, mask):
+            def iter_body(mdl, carry, _):
+                xyz_src, cum, invalid = carry
+                fs = mdl.aggregate_moving(xyz_src, score, ff)
+                if stop_frozen:
+                    fs = jax.lax.stop_gradient(fs)
+                # correspondence search — integer output, no gradient flows;
+                # under bf16 compute the fused matcher also runs bf16 operands
+                with _matmul_precision(cfg.matcher_matmul_precision):
+                    if mdl.matcher is not None:
+                        idx = mdl.matcher(fs, fr)                 # (B, N)
+                    else:
+                        lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+                        idx = nearest_neighbour_index(
+                            fs, fr, low_precision=lp,
+                            method=cfg.matcher_method)
+                xyz_ref_new = gather_points(xyz_ref, idx)         # (B, N, 3)
+
+                # learned inlier confidence over concatenated pair coords
+                pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
+                with _matmul_precision(cfg.inlier_matmul_precision):
+                    _, inlier_logit = mdl.inlier_model(
+                        pair_feats, pyramid, train=train,
+                        pos_cache=pos_cache)
+                # fp32 from here on: the sigmoid weights feed the Kabsch
+                # solve and the training BCE (bf16 activations stop here)
+                inlier_logit = inlier_logit[..., 0].astype(jnp.float32)
+                weights = jax.nn.sigmoid(inlier_logit)
+                if opts.clip_weight and cfg.clip_weight_thresh > 0:
+                    weights = jnp.where(weights < cfg.clip_weight_thresh,
+                                        0.0, weights)
+                if mask is not None:
+                    # padded src rows are tile-duplicates of real points;
+                    # zeroing their weight removes the double vote from the
+                    # Kabsch solve (padded REF rows need no handling: a
+                    # duplicate match target has identical coordinates, so
+                    # the solve is unaffected)
+                    weights = weights * mask
+
+                if cfg.absolute_pose_solve:
+                    # drift fix (opt-in): solve the ORIGINAL source onto the
+                    # matched refs directly — per-iteration solve bias cannot
+                    # compound across iterations (see ModelConfig docstring)
+                    cum, bad = weighted_kabsch(xyz0, xyz_ref_new, weights)
+                    xyz_src = se3.transform(jax.lax.stop_gradient(cum), xyz0)
                 else:
-                    lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-                    idx = nearest_neighbour_index(fs, fr, low_precision=lp,
-                                                  method=cfg.matcher_method)
-            xyz_ref_new = gather_points(xyz_ref, idx)             # (B, N, 3)
+                    # reference scheme: incremental delta composed onto the
+                    # running pose (model.py:590-595)
+                    r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
+                    xyz_src = se3.transform(jax.lax.stop_gradient(r_t),
+                                            xyz_src)
+                    cum = se3.concatenate(r_t, cum)
+                return ((xyz_src, cum, invalid | bad),
+                        (cum, inlier_logit, idx))
+            return iter_body
 
-            # learned inlier confidence over concatenated pair coordinates
-            pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
-            with _matmul_precision(cfg.inlier_matmul_precision):
-                _, inlier_logit = mdl.inlier_model(
-                    pair_feats, batch.pyramid_src, train=train,
-                    pos_cache=inlier_pos)
-            # fp32 from here on: the sigmoid weights feed the Kabsch solve
-            # and the training BCE (bf16 activations stop at the logit)
-            inlier_logit = inlier_logit[..., 0].astype(jnp.float32)  # (B, N)
-            weights = jax.nn.sigmoid(inlier_logit)
-            if opts.clip_weight and cfg.clip_weight_thresh > 0:
-                weights = jnp.where(weights < cfg.clip_weight_thresh,
-                                    0.0, weights)
-            if batch.mask_src is not None:
-                # padded src rows are tile-duplicates of real points; zeroing
-                # their weight removes the double vote from the Kabsch solve
-                # (padded REF rows need no handling: a duplicate match target
-                # has identical coordinates, so the solve is unaffected)
-                weights = weights * batch.mask_src
-
-            if cfg.absolute_pose_solve:
-                # drift fix (opt-in): solve the ORIGINAL source onto the
-                # matched refs directly — per-iteration solve bias cannot
-                # compound across iterations (see ModelConfig docstring)
-                cum, bad = weighted_kabsch(xyz_src0, xyz_ref_new, weights)
-                xyz_src = se3.transform(jax.lax.stop_gradient(cum), xyz_src0)
-            else:
-                # reference scheme: incremental delta composed onto the
-                # running pose (model.py:590-595)
-                r_t, bad = weighted_kabsch(xyz_src, xyz_ref_new, weights)
-                xyz_src = se3.transform(jax.lax.stop_gradient(r_t), xyz_src)
-                cum = se3.concatenate(r_t, cum)
-            return (xyz_src, cum, invalid | bad), (cum, inlier_logit, idx)
-
+        full_body = make_body(xyz_src0, score_src, ff_src,
+                              batch.pyramid_src, inlier_pos, batch.mask_src)
         b = xyz_src0.shape[:-2]
         identity = jnp.broadcast_to(jnp.eye(3, 4, dtype=xyz_src0.dtype),
                                     b + (3, 4))
-        scan = nn.scan(iter_body,
-                       variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True},
-                       length=opts.num_iter)
+        carry0 = (xyz_src0, identity, jnp.zeros(b, dtype=bool))
+        scan_kw = dict(variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True})
+
+        stride = cfg.refine_stride if not train else 1
+        if stride > 1 and opts.num_iter > 1:
+            # Coarse-refine split (opt-in, eval-only — perf knob beyond the
+            # reference, which runs every iteration at full N,
+            # model.py:551-601): iteration 1 runs on the full cloud to lock
+            # a solid first pose; iterations 2..K refine it on every
+            # stride-th source point. The data-layer contract makes the
+            # strided rows a uniform random sample (shuffled order) or a
+            # spatially uniform one (morton order), and a near-correct pose
+            # needs far fewer correspondences to refine than to find, so
+            # per-iteration cost drops ~stride-fold on this gather-bound
+            # forward. Quality-gated like every perf knob (128-pair A/B).
+            transforms, out = self._refine_after_full(
+                batch, opts, train, make_body, full_body, carry0,
+                score_src, ff_src, xyz_src0, xyz_ref, score_ref, stride,
+                scan_kw)
+            return transforms, out
+
+        scan = nn.scan(full_body, length=opts.num_iter, **scan_kw)
         (_, _, invalid), (transforms, logits_iters, idx_iters) = scan(
-            self, (xyz_src0, identity, jnp.zeros(b, dtype=bool)), None)
+            self, carry0, None)
 
         out = AlignOutput(
             transforms=transforms,                    # (iters, B, 3, 4)
@@ -358,6 +387,66 @@ class Network(nn.Module):
             pred_idx=idx_iters,
             invalid=invalid,
             pt_src=xyz_src0, pt_ref=xyz_ref,
+            score_src=score_src, score_ref=score_ref)
+        return transforms, out
+
+    def _refine_after_full(self, batch, opts, train, make_body, full_body,
+                           carry0, score_src, ff_src, xyz_src0, xyz_ref,
+                           score_ref, stride, scan_kw):
+        """refine_stride>1 tail of forward_align: one full-N iteration, then
+        num_iter-1 iterations over the [::stride] source subset (its pyramid
+        and LocSE cache are built in-graph, once — both are loop-invariant).
+
+        AlignOutput contract in this mode: pt_src / inlier_logits / pred_idx
+        describe the SUBSET cloud and the refinement iterations only (the
+        eval-side consumers — RANSAC / finetune — use the last iteration);
+        transforms still stacks all num_iter cumulative poses.
+        """
+        cfg = self.cfg
+        from deepsir_tpu.ops.pyramid import build_pyramid
+
+        (xyz_c, cum, invalid), (t1, _, _) = full_body(self, carry0, None)
+
+        xyz0_sub = xyz_src0[..., ::stride, :]
+        n_bottom = xyz0_sub.shape[-2]
+        for r in cfg.sub_sampling_ratio:
+            n_bottom //= r
+        if n_bottom < 1:
+            raise ValueError(
+                f"refine_stride={stride} leaves too few points for the "
+                f"inlier pyramid (ratios {cfg.sub_sampling_ratio})")
+        score_sub = score_src[..., ::stride]
+        ff_sub = ff_src[..., ::stride, :]
+        mask_sub = (batch.mask_src[..., ::stride]
+                    if batch.mask_src is not None else None)
+        # subset pyramid: strided rows of a curve-sorted cloud stay sorted
+        # (morton windows remain valid); of a shuffled cloud stay shuffled
+        # (first-N remains a uniform sample) — same mapping as
+        # training.make_device_batch
+        sample = "strided" if cfg.pyramid_order == "morton" else "first"
+        halo = cfg.knn_window_halo if cfg.pyramid_order == "morton" else 0
+        pyr_sub = build_pyramid(xyz0_sub, cfg.num_knn,
+                                cfg.sub_sampling_ratio,
+                                recall_target=cfg.knn_recall_target,
+                                sample=sample, window_halo=halo)
+        with _matmul_precision(cfg.inlier_matmul_precision):
+            pos_sub = self.inlier_model.pos_cache(pyr_sub)
+
+        refine_body = make_body(xyz0_sub, score_sub, ff_sub, pyr_sub,
+                                pos_sub, mask_sub)
+        # enter refinement at the pose the full iteration produced
+        xyz_sub = se3.transform(jax.lax.stop_gradient(cum), xyz0_sub)
+        scan = nn.scan(refine_body, length=opts.num_iter - 1, **scan_kw)
+        (_, _, invalid), (t_rest, logits_r, idx_r) = scan(
+            self, (xyz_sub, cum, invalid), None)
+
+        transforms = jnp.concatenate([t1[None], t_rest], axis=0)
+        out = AlignOutput(
+            transforms=transforms,
+            inlier_logits=logits_r,                  # (iters-1, B, N/stride)
+            pred_idx=idx_r,
+            invalid=invalid,
+            pt_src=xyz0_sub, pt_ref=xyz_ref,
             score_src=score_src, score_ref=score_ref)
         return transforms, out
 

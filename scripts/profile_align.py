@@ -50,6 +50,9 @@ def capture(args, trace_dir):
     if args.inlier_compute_dtype != "float32":
         cfg = replace(cfg, model=replace(
             cfg.model, inlier_compute_dtype=args.inlier_compute_dtype))
+    if args.refine_stride != 1:
+        cfg = replace(cfg, model=replace(
+            cfg.model, refine_stride=args.refine_stride))
     apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
@@ -159,6 +162,7 @@ if __name__ == "__main__":
     ap.add_argument("--halo", type=int, default=1)
     ap.add_argument("--inlier_compute_dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--refine_stride", type=int, default=1)
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()
     # ALWAYS start from an empty dir: summarize() sums every xplane file it

@@ -128,6 +128,43 @@ def test_forward_align_bf16_inlier_only(rng):
     np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=0.05)
 
 
+def test_forward_align_refine_stride(rng):
+    """refine_stride=2: iteration 1 is computed identically to the default
+    path (same full-cloud body, same weights), later iterations run on the
+    [::2] source subset — transforms keep the full (iters, B, 3, 4) stack
+    while the refinement outputs (logits / matched idx / pt_src) describe
+    the subset cloud. No new params: the subset pyramid and LocSE cache are
+    parameter-free in-graph structures."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg_s = dc_replace(TINY, refine_stride=2)
+    m1 = Network(TINY, pipeline="align")
+    ms = Network(cfg_s, pipeline="align")
+    params = m1.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    params_s = ms.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_s))
+
+    t1, out1 = m1.apply(params, batch, ForwardOptions(num_iter=3))
+    ts, outs = ms.apply(params, batch, ForwardOptions(num_iter=3))
+    assert ts.shape == t1.shape == (3, 2, 3, 4)
+    # the first iteration runs the identical full-N computation
+    np.testing.assert_allclose(np.asarray(ts[0]), np.asarray(t1[0]),
+                               rtol=0, atol=1e-6)
+    # refinement outputs are subset-shaped and consistent with each other
+    n_sub = TINY.num_points // 2
+    assert outs.inlier_logits.shape == (2, 2, n_sub)
+    assert outs.pred_idx.shape == (2, 2, n_sub)
+    assert outs.pt_src.shape == (2, n_sub, 3)
+    np.testing.assert_array_equal(np.asarray(outs.pt_src),
+                                  np.asarray(batch.points_src[:, ::2, :3]))
+    assert np.all(np.isfinite(np.asarray(ts)))
+    # training ignores the stride (reference-faithful loss path)
+    tt, outt = ms.apply(params, batch, ForwardOptions(num_iter=2),
+                        train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert outt.inlier_logits.shape == (2, 2, TINY.num_points)
+
+
 def test_forward_align_gradients_flow_to_inlier_net(rng):
     batch = make_batch(rng)
     model = Network(TINY, pipeline="align")
