@@ -79,7 +79,10 @@ def main():
         num_reg_iter=N_ITERS, compute_dtype=dtype,
         inlier_compute_dtype=os.environ.get("DEEPSIR_BENCH_INLIER_DTYPE",
                                             "float32"),
-        refine_stride=int(os.environ.get("DEEPSIR_BENCH_REFINE_STRIDE", "1")))
+        refine_stride=int(os.environ.get("DEEPSIR_BENCH_REFINE_STRIDE", "1")),
+        # morton: host-side curve sort below + strided pyramid subsample +
+        # windowed per-level KNN, exactly the data-layer contract
+        pyramid_order=os.environ.get("DEEPSIR_BENCH_ORDER", "shuffled"))
     cfg = Config(pipeline="align", model=model_cfg)
     apply_matmul_precision(cfg)   # fp32-fidelity matmuls (the quality gap)
 
@@ -102,6 +105,13 @@ def main():
         pts2 = np.concatenate(
             [xyz2, rng.uniform(size=(batch, N_POINTS, 1)).astype(np.float32)],
             axis=-1)
+        if cfg.model.pyramid_order == "morton":
+            # the data layer serves curve-sorted clouds in morton mode
+            # (data/base.py); mirror it so the windowed KNN sees the same
+            # locality structure it would in production
+            from deepsir_tpu.ops.morton import morton_order_np
+            pts = np.stack([c[morton_order_np(c[:, :3])] for c in pts])
+            pts2 = np.stack([c[morton_order_np(c[:, :3])] for c in pts2])
         return {"points_src": pts.astype(transfer),
                 "points_ref": pts2.astype(transfer),
                 "transform_gt": np.tile(np.eye(3, 4, dtype=np.float32),
