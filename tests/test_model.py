@@ -165,6 +165,35 @@ def test_forward_align_refine_stride(rng):
     assert outt.inlier_logits.shape == (2, 2, TINY.num_points)
 
 
+def test_forward_align_refine_stride_morton(rng):
+    """refine_stride composes with morton mode: the [::stride] rows of a
+    curve-sorted cloud stay curve-sorted, so the subset pyramid is built
+    with strided sampling + windows (degrading gracefully to full search
+    at small N, ops/window.windowed)."""
+    from dataclasses import replace as dc_replace
+    from deepsir_tpu.ops.morton import morton_order_np
+    cfg = dc_replace(TINY, pyramid_order="morton", knn_window_halo=1,
+                     refine_stride=2)
+    pts = rng.normal(size=(2, cfg.num_points, 3)).astype(np.float32)
+    pts = np.stack([c[morton_order_np(c)] for c in pts])
+    ref = rng.normal(size=(2, cfg.num_points, 3)).astype(np.float32)
+    ref = np.stack([c[morton_order_np(c)] for c in ref])
+    pyr_src = build_pyramid(jnp.asarray(pts), cfg.num_knn,
+                            cfg.sub_sampling_ratio, chunk=128,
+                            sample="strided", window_halo=1)
+    pyr_ref = build_pyramid(jnp.asarray(ref), cfg.num_knn,
+                            cfg.sub_sampling_ratio, chunk=128,
+                            sample="strided", window_halo=1)
+    batch = PairBatch(jnp.asarray(pts), jnp.asarray(ref), pyr_src, pyr_ref,
+                      transform_gt=jnp.broadcast_to(jnp.eye(3, 4), (2, 3, 4)))
+    model = Network(cfg, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    ts, outs = model.apply(params, batch, ForwardOptions(num_iter=3))
+    assert ts.shape == (3, 2, 3, 4)
+    assert outs.pred_idx.shape == (2, 2, cfg.num_points // 2)
+    assert np.all(np.isfinite(np.asarray(ts)))
+
+
 def test_forward_align_gradients_flow_to_inlier_net(rng):
     batch = make_batch(rng)
     model = Network(TINY, pipeline="align")
