@@ -87,7 +87,8 @@ def main():
     apply_matmul_precision(cfg)   # fp32-fidelity matmuls (the quality gap)
 
     model = Network(cfg.model, pipeline="align")
-    opts = ForwardOptions(num_iter=N_ITERS, clip_weight=True)
+    opts = ForwardOptions(num_iter=N_ITERS, clip_weight=True,
+                          refine_stride=model_cfg.refine_stride)
 
     rng = np.random.default_rng(0)
 

@@ -78,6 +78,8 @@ class ModelConfig:
     # near-converged refinement needs far fewer correspondences than the
     # initial alignment, and the per-iteration inlier RandLA + matcher cost
     # drops ~stride-fold. Quality-gate before flipping (128-pair held-out).
+    # Consumed ONLY by the test-time driver via ForwardOptions.refine_stride
+    # (training.make_eval_step) — the train loop's validation ignores it.
     refine_stride: int = 1
     # Point-order mode. "shuffled": the reference contract (loader shuffles,
     # pyramid subsamples first-N — ops/pyramid.py docstring). "morton": the

@@ -92,6 +92,12 @@ class ForwardOptions(NamedTuple):
     """Static forward options (the reference's `opt` tuple, model.py:533)."""
     num_iter: int = 2
     clip_weight: bool = False
+    # coarse-refine split (ModelConfig.refine_stride docstring): iterations
+    # >=2 on every stride-th source point. Lives HERE rather than being read
+    # off ModelConfig inside the model so that only eval drivers opt in —
+    # the train-loop's validation forward (also train=False) must keep
+    # scoring checkpoints on the reference's full-N iteration scheme
+    refine_stride: int = 1
 
 
 class Network(nn.Module):
@@ -359,7 +365,7 @@ class Network(nn.Module):
         scan_kw = dict(variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True})
 
-        stride = cfg.refine_stride if not train else 1
+        stride = opts.refine_stride if not train else 1
         if stride > 1 and opts.num_iter > 1:
             # Coarse-refine split (opt-in, eval-only — perf knob beyond the
             # reference, which runs every iteration at full N,

@@ -206,10 +206,16 @@ def make_train_step(cfg: Config, model: Network, tx):
     return train_step
 
 
-def make_eval_step(cfg: Config, model: Network, num_iter: Optional[int] = None):
-    """Jitted eval step for the align pipeline: arrays -> (transforms, aux)."""
+def make_eval_step(cfg: Config, model: Network, num_iter: Optional[int] = None,
+                   refine_stride: int = 1):
+    """Jitted eval step for the align pipeline: arrays -> (transforms, aux).
+
+    refine_stride is plumbed ONLY by the test-time driver (test.py) — the
+    train loop's validation keeps the reference's full-N iteration scheme so
+    checkpoint scores stay comparable across configs (ForwardOptions
+    docstring)."""
     opts = ForwardOptions(num_iter=num_iter or cfg.model.num_reg_iter,
-                          clip_weight=True)
+                          clip_weight=True, refine_stride=refine_stride)
 
     @jax.jit
     def eval_step(params, arrays: Dict[str, jnp.ndarray]):

@@ -50,12 +50,10 @@ def capture(args, trace_dir):
     if args.inlier_compute_dtype != "float32":
         cfg = replace(cfg, model=replace(
             cfg.model, inlier_compute_dtype=args.inlier_compute_dtype))
-    if args.refine_stride != 1:
-        cfg = replace(cfg, model=replace(
-            cfg.model, refine_stride=args.refine_stride))
     apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
-    opts = ForwardOptions(num_iter=args.iters, clip_weight=True)
+    opts = ForwardOptions(num_iter=args.iters, clip_weight=True,
+                          refine_stride=args.refine_stride)
     rng = np.random.default_rng(0)
     b, n = args.batch, args.points
     arrays = {

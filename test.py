@@ -79,7 +79,8 @@ def main():
         logger.warning("No --resume given: evaluating RANDOM weights")
 
     if cfg.pipeline == "align":
-        eval_step = make_eval_step(cfg, model)
+        eval_step = make_eval_step(
+            cfg, model, refine_stride=cfg.model.refine_stride)
         pred, endpoints = inference_align(
             loader, eval_step, state.params, cfg,
             stats_path=os.path.join(save_path, "stats.npz"))

@@ -135,18 +135,16 @@ def test_forward_align_refine_stride(rng):
     while the refinement outputs (logits / matched idx / pt_src) describe
     the subset cloud. No new params: the subset pyramid and LocSE cache are
     parameter-free in-graph structures."""
-    from dataclasses import replace as dc_replace
     batch = make_batch(rng)
-    cfg_s = dc_replace(TINY, refine_stride=2)
+    opt_s = ForwardOptions(num_iter=3, refine_stride=2)
     m1 = Network(TINY, pipeline="align")
-    ms = Network(cfg_s, pipeline="align")
     params = m1.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
-    params_s = ms.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    params_s = m1.init(jax.random.PRNGKey(0), batch, opt_s)
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(params_s))
 
     t1, out1 = m1.apply(params, batch, ForwardOptions(num_iter=3))
-    ts, outs = ms.apply(params, batch, ForwardOptions(num_iter=3))
+    ts, outs = m1.apply(params, batch, opt_s)
     assert ts.shape == t1.shape == (3, 2, 3, 4)
     # the first iteration runs the identical full-N computation
     np.testing.assert_allclose(np.asarray(ts[0]), np.asarray(t1[0]),
@@ -160,7 +158,8 @@ def test_forward_align_refine_stride(rng):
                                   np.asarray(batch.points_src[:, ::2, :3]))
     assert np.all(np.isfinite(np.asarray(ts)))
     # training ignores the stride (reference-faithful loss path)
-    tt, outt = ms.apply(params, batch, ForwardOptions(num_iter=2),
+    tt, outt = m1.apply(params, batch,
+                        ForwardOptions(num_iter=2, refine_stride=2),
                         train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert outt.inlier_logits.shape == (2, 2, TINY.num_points)
 
@@ -172,8 +171,7 @@ def test_forward_align_refine_stride_morton(rng):
     at small N, ops/window.windowed)."""
     from dataclasses import replace as dc_replace
     from deepsir_tpu.ops.morton import morton_order_np
-    cfg = dc_replace(TINY, pyramid_order="morton", knn_window_halo=1,
-                     refine_stride=2)
+    cfg = dc_replace(TINY, pyramid_order="morton", knn_window_halo=1)
     pts = rng.normal(size=(2, cfg.num_points, 3)).astype(np.float32)
     pts = np.stack([c[morton_order_np(c)] for c in pts])
     ref = rng.normal(size=(2, cfg.num_points, 3)).astype(np.float32)
@@ -188,7 +186,8 @@ def test_forward_align_refine_stride_morton(rng):
                       transform_gt=jnp.broadcast_to(jnp.eye(3, 4), (2, 3, 4)))
     model = Network(cfg, pipeline="align")
     params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
-    ts, outs = model.apply(params, batch, ForwardOptions(num_iter=3))
+    ts, outs = model.apply(params, batch,
+                           ForwardOptions(num_iter=3, refine_stride=2))
     assert ts.shape == (3, 2, 3, 4)
     assert outs.pred_idx.shape == (2, 2, cfg.num_points // 2)
     assert np.all(np.isfinite(np.asarray(ts)))
