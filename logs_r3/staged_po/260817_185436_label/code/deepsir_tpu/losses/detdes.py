@@ -1,0 +1,115 @@
+"""Detection + description loss: circle loss over feature distances plus a
+score-weighted detector term.
+
+TPU-native equivalent of the reference's CircleLoss / DetDesLoss
+(/root/reference/network/loss.py:483-702). The positive/negative masks are
+built from the GT-aligned point-distance matrix exactly as the reference
+does: every pair inside thres_radius is excluded from the negative set and
+enters the positive logsumexp; the detector term's pos_mask replicates the
+reference's zero-before-min quirk (see circle_loss body).
+
+Memory note: this loss materializes the (N1, N2) point- and feature-distance
+matrices, as the reference does; it is intended for the `feat` pipeline where
+N is the (sub-selected) keypoint count.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepsir_tpu.config import LossConfig
+from deepsir_tpu.math import se3
+from deepsir_tpu.ops.distance import square_distance
+
+_BIG = 1e5
+_EPS = 1e-12
+
+
+def circle_loss(anc_feat: jnp.ndarray, pos_feat: jnp.ndarray,
+                anc_pc: jnp.ndarray, pos_pc: jnp.ndarray,
+                anc_score: jnp.ndarray, thres_radius: float,
+                log_scale: float = 10.0, pos_margin: float = 0.1,
+                neg_margin: float = 1.4) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Circle loss (feature) + detector loss + matching accuracy.
+
+    anc_feat/pos_feat: (B, N1/N2, C) descriptors
+    anc_pc/pos_pc:     (B, N1/N2, 3), pos_pc already in anchor coordinates
+    anc_score:         (B, N1) detector scores
+    Returns (loss_feat scalar, loss_det scalar, accuracy scalar %).
+    (reference CircleLoss.forward, loss.py:500-624; optimal == margin)
+    """
+    anc_score = anc_score / (jnp.sum(anc_score, axis=1, keepdims=True) + _EPS)
+
+    # point distances use the direct difference norm (reference
+    # loss.py:518-520), NOT the |a|^2+|b|^2-2ab expansion: the pos_mask below
+    # tests dist == 0 exactly, and the expansion form's rounding turns exact
+    # duplicates into ~1e-6 — flipping the mask. Feature distances keep the
+    # expansion (the reference's square_distance_V2 + sqrt(+eps), loss.py:527)
+    dist_pc = jnp.linalg.norm(
+        anc_pc[..., :, None, :] - pos_pc[..., None, :, :], axis=-1)
+    dist_feat = jnp.sqrt(jnp.maximum(square_distance(anc_feat, pos_feat), 0.0) + _EPS)
+
+    false_neg = dist_pc < thres_radius                                # (B, N1, N2)
+    # the reference's positive mask (loss.py:533-535) zeroes out-of-radius
+    # entries BEFORE the min, so dist_min collapses to 0 whenever any pair is
+    # out of radius and pos_mask keeps only EXACT-duplicate points
+    # (dist == 0). That is generically empty on KITTI/3DMatch feat pairs but
+    # is the true correspondence on Oxford self-pairs (identical points,
+    # identity GT). Replicated bit-for-bit: it only affects the detector
+    # term and accuracy — lse_positive already treats every in-radius pair
+    # as a positive either way (verified by tests/test_parity_reference.py).
+    dist_min = jnp.min(dist_pc * false_neg, axis=-1, keepdims=True)
+    pos_mask = dist_pc == dist_min
+    neg_mask = ~(pos_mask | false_neg)
+
+    # negatives are pushed far negative so they vanish from the positive
+    # logsumexp; all pairs within the radius (pos + false-neg) count as
+    # positives (reference loss.py:537-541)
+    pos = dist_feat - _BIG * neg_mask
+    pos_weight = jax.lax.stop_gradient(jnp.maximum(pos - pos_margin, 0.0))
+    lse_pos = jax.nn.logsumexp(log_scale * (pos - pos_margin) * pos_weight, axis=-1)
+
+    neg = dist_feat + _BIG * (~neg_mask)
+    neg_weight = jax.lax.stop_gradient(jnp.maximum(neg_margin - neg, 0.0))
+    neg_weighted = log_scale * (neg_margin - neg) * neg_weight
+    lse_neg_row = jax.nn.logsumexp(neg_weighted, axis=-1)             # (B, N1)
+    lse_neg_col = jax.nn.logsumexp(neg_weighted, axis=-2)             # (B, N2)
+
+    loss_col = jax.nn.softplus(lse_pos + lse_neg_row) / log_scale
+    loss_row = jax.nn.softplus(lse_pos + lse_neg_col) / log_scale
+    loss_feat = jnp.mean(loss_col + loss_row)
+
+    # matching accuracy + detector loss: score should be high where the
+    # nearest-feature match is correct (diff < 0). With the reference's
+    # degenerate pos_mask (above), anchors without an exact-duplicate
+    # correspondent have furthest_pos = 0 and always count diff < 0 — kept
+    # verbatim for parity (loss.py:565-578); the accuracy denominator,
+    # however, is corrected to mean over B*N1 (the reference divides a
+    # batch-summed count by N1 only, loss.py:570).
+    furthest_pos = jnp.max(dist_feat * pos_mask, axis=-1)
+    closest_neg = jnp.min(dist_feat + _BIG * pos_mask, axis=-1)
+    diff = furthest_pos - closest_neg                                 # (B, N1)
+    accuracy = jnp.mean((diff < 0) * 100.0)
+    loss_det = jnp.mean(diff * anc_score)
+    return loss_feat, loss_det, accuracy
+
+
+def det_des_loss(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
+                 pt_src: jnp.ndarray, pt_ref: jnp.ndarray,
+                 score_src: jnp.ndarray, score_ref: jnp.ndarray,
+                 transform_gt: jnp.ndarray,
+                 cfg: LossConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Combined detection/description objective (reference DetDesLoss.forward,
+    loss.py:667-702): src is moved into ref coordinates with the GT pose, then
+    circle loss anchors on the ref cloud.
+
+    Returns (total loss, accuracy).
+    """
+    assert cfg.thres_radius > 0, "thres_radius must come from the data config"
+    pt_src_gt = se3.transform(transform_gt, pt_src)
+    loss_feat, loss_det, acc = circle_loss(
+        feat_ref, feat_src, pt_ref, pt_src_gt, score_ref,
+        thres_radius=cfg.thres_radius)
+    return loss_feat + loss_det * cfg.det_loss_weight, acc
