@@ -105,6 +105,15 @@ class ModelConfig:
     # (~0.4 deg/iter past the trained depth); the absolute solve cannot
     # compound. Default False = reference-faithful.
     absolute_pose_solve: bool = False
+    # Opt-in mutual nearest-neighbour gate on the correspondence search
+    # (beyond the reference, which keeps every forward match,
+    # network/model.py:558-569): a second ref->src search per iteration and
+    # zeroed Kabsch weight for non-reciprocal matches — the classical
+    # partial-overlap outlier prior, composing with the learned inlier
+    # weights. Costs one extra matcher pass per iteration. Parameter-free,
+    # so it applies to existing checkpoints at eval. Default False =
+    # reference-faithful.
+    mutual_check: bool = False
     # sinkhorn variant (kept for API parity with the reference's RPM-style path)
     no_slack: bool = False
     num_sk_iter: int = 5
@@ -333,6 +342,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    help="re-solve the pose absolutely from the original "
                         "source each iteration (iteration-drift fix) instead "
                         "of composing increments (reference behavior)")
+    p.add_argument("--mutual_check", type=str2bool, default=False,
+                   help="gate Kabsch weights on mutual nearest-neighbour "
+                        "consistency (one extra ref->src search per "
+                        "iteration; partial-overlap outlier prior)")
     p.add_argument("--loss_discount_factor", type=float, default=0.5)
     p.add_argument("--no_slack", action="store_true")
     p.add_argument("--num_sk_iter", type=int, default=5)
@@ -427,6 +440,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         num_train_reg_iter=args.num_train_reg_iter, num_reg_iter=args.num_reg_iter,
         clip_weight_thresh=args.clip_weight_thresh,
         absolute_pose_solve=getattr(args, "absolute_pose_solve", False),
+        mutual_check=getattr(args, "mutual_check", False),
         no_slack=args.no_slack,
         num_sk_iter=args.num_sk_iter)
     data = DataConfig(

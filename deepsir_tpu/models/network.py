@@ -26,7 +26,7 @@ from deepsir_tpu.math import se3
 from deepsir_tpu.models.layers import MLP
 from deepsir_tpu.models.randla import RandLA
 from deepsir_tpu.models.scoring import score_points, top_k_select
-from deepsir_tpu.ops.distance import nearest_neighbour_index
+from deepsir_tpu.ops.distance import mutual_gate, nearest_neighbour_index
 from deepsir_tpu.ops.gather import gather_points
 from deepsir_tpu.ops.pyramid import Pyramid
 from deepsir_tpu.ops.svd3 import weighted_kabsch
@@ -308,14 +308,22 @@ class Network(nn.Module):
                     fs = jax.lax.stop_gradient(fs)
                 # correspondence search — integer output, no gradient flows;
                 # under bf16 compute the fused matcher also runs bf16 operands
-                with _matmul_precision(cfg.matcher_matmul_precision):
+                lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+
+                def search(a, b):
                     if mdl.matcher is not None:
-                        idx = mdl.matcher(fs, fr)                 # (B, N)
-                    else:
-                        lp = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-                        idx = nearest_neighbour_index(
-                            fs, fr, low_precision=lp,
-                            method=cfg.matcher_method)
+                        return mdl.matcher(a, b)
+                    return nearest_neighbour_index(
+                        a, b, low_precision=lp, method=cfg.matcher_method)
+
+                with _matmul_precision(cfg.matcher_matmul_precision):
+                    idx = search(fs, fr)                          # (B, N)
+                    if cfg.mutual_check:
+                        # reverse ref->src search for the reciprocity gate
+                        # below (ops.distance.mutual_gate); with the ring
+                        # matcher this shards the SOURCE cloud over the
+                        # model axis — the matcher is argument-generic
+                        ridx = search(fr, fs)                     # (B, M)
                 xyz_ref_new = gather_points(xyz_ref, idx)         # (B, N, 3)
 
                 # learned inlier confidence over concatenated pair coords
@@ -338,6 +346,12 @@ class Network(nn.Module):
                     # duplicate match target has identical coordinates, so
                     # the solve is unaffected)
                     weights = weights * mask
+                if cfg.mutual_check:
+                    # zero the Kabsch vote of non-reciprocal matches (with a
+                    # degenerate-overlap fallback inside the gate). Duplicate
+                    # padded rows can only make the gate stricter — ties
+                    # break to the lowest index on both sides.
+                    weights = weights * mutual_gate(idx, ridx)
 
                 if cfg.absolute_pose_solve:
                     # drift fix (opt-in): solve the ORIGINAL source onto the

@@ -118,6 +118,32 @@ def nearest_neighbour_index(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
     return fn(feat_src, feat_ref, chunk)
 
 
+def mutual_gate(idx: jnp.ndarray, reverse_idx: jnp.ndarray,
+                min_keep: int = 3) -> jnp.ndarray:
+    """Mutual nearest-neighbour consistency mask over a correspondence set.
+
+    idx: (..., N) int — forward search, src row i matched to ref row idx[i].
+    reverse_idx: (..., M) int — reverse search, ref row j matched to src row
+    reverse_idx[j]. Returns a float32 (..., N) mask: 1.0 where the match is
+    reciprocal (reverse_idx[idx[i]] == i), else 0.0. Classical outlier prior
+    for partial-overlap registration (no reference counterpart — the
+    reference keeps every forward match, network/model.py:558-569): source
+    points outside the overlap region must match SOMETHING, but the ref
+    point they hit almost never matches them back.
+
+    Safety fallback: if fewer than `min_keep` matches per cloud survive the
+    check (degenerate descriptors, tiny overlap), the gate opens fully
+    (all-ones) so the downstream weighted-Kabsch solve never sees an empty
+    correspondence set.
+    """
+    from deepsir_tpu.ops.gather import gather_points
+    n = idx.shape[-1]
+    back = gather_points(reverse_idx[..., None], idx)[..., 0]   # (..., N)
+    mutual = back == jnp.arange(n, dtype=idx.dtype)
+    keep = jnp.sum(mutual, axis=-1, keepdims=True) >= min_keep
+    return jnp.where(keep, mutual.astype(jnp.float32), 1.0)
+
+
 def _min_dist_single(src: jnp.ndarray, ref: jnp.ndarray, chunk: int) -> jnp.ndarray:
     """Min squared distance to ref for each src row. (N, C), (M, C) -> (N,)."""
     n = src.shape[0]

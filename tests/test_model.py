@@ -193,6 +193,27 @@ def test_forward_align_refine_stride_morton(rng):
     assert np.all(np.isfinite(np.asarray(ts)))
 
 
+def test_forward_align_mutual_check(rng):
+    """mutual_check is parameter-free; on identical clouds every match is
+    reciprocal (exact self-distance 0) so the gated forward equals the
+    ungated one, and on generic clouds it runs finite."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    batch_id = batch._replace(points_ref=batch.points_src,
+                              pyramid_ref=batch.pyramid_src)
+    m0 = Network(TINY, pipeline="align")
+    m1 = Network(dc_replace(TINY, mutual_check=True), pipeline="align")
+    params = m0.init(jax.random.PRNGKey(0), batch_id, ForwardOptions(2))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                m1.init(jax.random.PRNGKey(0), batch_id, ForwardOptions(2))))
+    t0, _ = m0.apply(params, batch_id, ForwardOptions(num_iter=2))
+    t1, _ = m1.apply(params, batch_id, ForwardOptions(num_iter=2))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), atol=1e-6)
+    t2, _ = m1.apply(params, batch, ForwardOptions(num_iter=2))
+    assert np.all(np.isfinite(np.asarray(t2)))
+
+
 def test_forward_align_gradients_flow_to_inlier_net(rng):
     batch = make_batch(rng)
     model = Network(TINY, pipeline="align")

@@ -25,6 +25,39 @@ def test_nearest_neighbour_index_oracle(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_mutual_gate(rng):
+    from deepsir_tpu.ops.distance import mutual_gate
+    # src rows 0..3 match ref rows [2, 0, 1, 2]; ref rows 0..2 match back
+    # to src rows [1, 2, 0] -> mutual: src0<->ref2 (ridx[2]==0? no, ==0 yes),
+    # src1<->ref0 (ridx[0]==1 yes), src2<->ref1 (ridx[1]==2 yes),
+    # src3->ref2 (ridx[2]==0 != 3, not mutual).
+    idx = jnp.asarray([[2, 0, 1, 2]], dtype=jnp.int32)
+    ridx = jnp.asarray([[1, 2, 0]], dtype=jnp.int32)
+    got = np.asarray(mutual_gate(idx, ridx, min_keep=3))
+    np.testing.assert_array_equal(got, [[1.0, 1.0, 1.0, 0.0]])
+    # degenerate fallback: with min_keep above the mutual count, the gate
+    # opens fully so the Kabsch solve never sees an empty set
+    got = np.asarray(mutual_gate(idx, ridx, min_keep=4))
+    np.testing.assert_array_equal(got, [[1.0, 1.0, 1.0, 1.0]])
+
+
+def test_mutual_gate_from_searches(rng):
+    """End-to-end against the real NN search: mutual pairs survive, a source
+    point far outside the overlap is gated (its nearest ref matches back to
+    a different, closer src point)."""
+    from deepsir_tpu.ops.distance import mutual_gate, nearest_neighbour_index
+    ref = rng.normal(size=(1, 40, 3)).astype(np.float32)
+    src = ref.copy()
+    src[0, -1] += 100.0          # outlier: nearest ref is arbitrary,
+                                 # but that ref's nearest src is its twin
+    idx = nearest_neighbour_index(jnp.asarray(src), jnp.asarray(ref))
+    ridx = nearest_neighbour_index(jnp.asarray(ref), jnp.asarray(src))
+    gate = np.asarray(mutual_gate(idx, ridx))
+    assert gate.shape == (1, 40)
+    np.testing.assert_array_equal(gate[0, :-1], 1.0)
+    assert gate[0, -1] == 0.0
+
+
 def test_min_square_distance_oracle(rng):
     from deepsir_tpu.ops.distance import min_square_distance
     a = rng.normal(size=(150, 3)).astype(np.float32)
