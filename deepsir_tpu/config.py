@@ -114,6 +114,12 @@ class ModelConfig:
     # so it applies to existing checkpoints at eval. Default False =
     # reference-faithful.
     mutual_check: bool = False
+    # relaxation radius for the gate: accept a match when the reverse match
+    # lands within this distance of the source point (0 = exact
+    # reciprocity). Measured (BASELINE.md round 3): the exact gate rescues
+    # catastrophic partial-overlap failures but trims good solves; the
+    # relaxed gate keeps valid-but-asymmetric matches in dense regions.
+    mutual_check_tol: float = 0.0
     # sinkhorn variant (kept for API parity with the reference's RPM-style path)
     no_slack: bool = False
     num_sk_iter: int = 5
@@ -346,6 +352,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    help="gate Kabsch weights on mutual nearest-neighbour "
                         "consistency (one extra ref->src search per "
                         "iteration; partial-overlap outlier prior)")
+    p.add_argument("--mutual_check_tol", type=float, default=0.0,
+                   help="relaxation radius for --mutual_check: accept when "
+                        "the reverse match lands within this distance of "
+                        "the source point (0 = exact reciprocity)")
     p.add_argument("--loss_discount_factor", type=float, default=0.5)
     p.add_argument("--no_slack", action="store_true")
     p.add_argument("--num_sk_iter", type=int, default=5)
@@ -441,6 +451,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         clip_weight_thresh=args.clip_weight_thresh,
         absolute_pose_solve=getattr(args, "absolute_pose_solve", False),
         mutual_check=getattr(args, "mutual_check", False),
+        mutual_check_tol=getattr(args, "mutual_check_tol", 0.0),
         no_slack=args.no_slack,
         num_sk_iter=args.num_sk_iter)
     data = DataConfig(

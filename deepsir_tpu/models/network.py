@@ -26,7 +26,9 @@ from deepsir_tpu.math import se3
 from deepsir_tpu.models.layers import MLP
 from deepsir_tpu.models.randla import RandLA
 from deepsir_tpu.models.scoring import score_points, top_k_select
-from deepsir_tpu.ops.distance import mutual_gate, nearest_neighbour_index
+from deepsir_tpu.ops.distance import (mutual_gate,
+                                      nearest_neighbour_bidirectional,
+                                      nearest_neighbour_index)
 from deepsir_tpu.ops.gather import gather_points
 from deepsir_tpu.ops.pyramid import Pyramid
 from deepsir_tpu.ops.svd3 import weighted_kabsch
@@ -317,13 +319,20 @@ class Network(nn.Module):
                         a, b, low_precision=lp, method=cfg.matcher_method)
 
                 with _matmul_precision(cfg.matcher_matmul_precision):
-                    idx = search(fs, fr)                          # (B, N)
-                    if cfg.mutual_check:
-                        # reverse ref->src search for the reciprocity gate
-                        # below (ops.distance.mutual_gate); with the ring
-                        # matcher this shards the SOURCE cloud over the
-                        # model axis — the matcher is argument-generic
-                        ridx = search(fr, fs)                     # (B, M)
+                    if cfg.mutual_check and mdl.matcher is None:
+                        # both directions for the reciprocity gate below in
+                        # ONE fused pass over the distance tiles on TPU
+                        # (ops/pallas_match.py::match_argmin_bidirectional)
+                        idx, ridx = nearest_neighbour_bidirectional(
+                            fs, fr, low_precision=lp,
+                            method=cfg.matcher_method)
+                    else:
+                        idx = search(fs, fr)                      # (B, N)
+                        if cfg.mutual_check:
+                            # injected (ring) matcher: reverse call shards
+                            # the SOURCE cloud — the matcher is
+                            # argument-generic
+                            ridx = search(fr, fs)                 # (B, M)
                 xyz_ref_new = gather_points(xyz_ref, idx)         # (B, N, 3)
 
                 # learned inlier confidence over concatenated pair coords
@@ -350,8 +359,12 @@ class Network(nn.Module):
                     # zero the Kabsch vote of non-reciprocal matches (with a
                     # degenerate-overlap fallback inside the gate). Duplicate
                     # padded rows can only make the gate stricter — ties
-                    # break to the lowest index on both sides.
-                    weights = weights * mutual_gate(idx, ridx)
+                    # break to the lowest index on both sides. tol > 0
+                    # relaxes reciprocity to a src-space radius (xyz0 is the
+                    # untransformed source — src-point distances are
+                    # pose-invariant).
+                    weights = weights * mutual_gate(
+                        idx, ridx, src_xyz=xyz0, tol=cfg.mutual_check_tol)
 
                 if cfg.absolute_pose_solve:
                     # drift fix (opt-in): solve the ORIGINAL source onto the

@@ -118,8 +118,44 @@ def nearest_neighbour_index(feat_src: jnp.ndarray, feat_ref: jnp.ndarray,
     return fn(feat_src, feat_ref, chunk)
 
 
+@partial(jax.jit, static_argnames=("chunk", "method", "low_precision"))
+def nearest_neighbour_bidirectional(feat_src: jnp.ndarray,
+                                    feat_ref: jnp.ndarray,
+                                    chunk: int = 2048, method: str = "auto",
+                                    low_precision: bool = False):
+    """Both-direction NN search: (..., N, C) x (..., M, C) ->
+    (idx (..., N), reverse_idx (..., M)) int32.
+
+    The mutual-consistency gate needs src->ref AND ref->src; on TPU the
+    fused Pallas kernel (ops/pallas_match.py::match_argmin_bidirectional)
+    reduces each distance tile into both directions in ONE pass — the
+    second direction costs an extra per-tile column reduction instead of a
+    second full sweep. Elsewhere (or with method='xla') it is two tiled
+    sweeps.
+    """
+    feat_src = jax.lax.stop_gradient(feat_src)
+    feat_ref = jax.lax.stop_gradient(feat_ref)
+    if method == "auto" and _on_tpu():
+        from deepsir_tpu.ops import pallas_match
+        if (pallas_match.supported(feat_src.shape[-2], feat_ref.shape[-2],
+                                   feat_src.shape[-1])
+                and feat_src.shape[-1] == feat_ref.shape[-1]):
+            fn = partial(pallas_match.match_argmin_bidirectional,
+                         low_precision=low_precision)
+            for _ in range(feat_src.ndim - 2):
+                fn = jax.vmap(fn, in_axes=(0, 0))
+            return fn(feat_src, feat_ref)
+    return (nearest_neighbour_index(feat_src, feat_ref, chunk=chunk,
+                                    method=method,
+                                    low_precision=low_precision),
+            nearest_neighbour_index(feat_ref, feat_src, chunk=chunk,
+                                    method=method,
+                                    low_precision=low_precision))
+
+
 def mutual_gate(idx: jnp.ndarray, reverse_idx: jnp.ndarray,
-                min_keep: int = 3) -> jnp.ndarray:
+                min_keep: int = 3, src_xyz: jnp.ndarray = None,
+                tol: float = 0.0) -> jnp.ndarray:
     """Mutual nearest-neighbour consistency mask over a correspondence set.
 
     idx: (..., N) int — forward search, src row i matched to ref row idx[i].
@@ -131,6 +167,15 @@ def mutual_gate(idx: jnp.ndarray, reverse_idx: jnp.ndarray,
     points outside the overlap region must match SOMETHING, but the ref
     point they hit almost never matches them back.
 
+    Relaxed form (`tol` > 0, requires `src_xyz` (..., N, 3)): accept when
+    the reverse match lands within `tol` of the source point —
+    |src_xyz[reverse_idx[idx[i]]] - src_xyz[i]| <= tol. Exact reciprocity
+    is the tol=0 limit; the relaxation keeps valid-but-asymmetric matches
+    in dense regions (measured: the hard gate rescues catastrophic
+    partial-overlap failures but trims good solves' correspondence sets —
+    see BASELINE.md round 3). Src-point distances are pose-invariant, so
+    any rigid-motion copy of the source coordinates works.
+
     Safety fallback: if fewer than `min_keep` matches per cloud survive the
     check (degenerate descriptors, tiny overlap), the gate opens fully
     (all-ones) so the downstream weighted-Kabsch solve never sees an empty
@@ -139,7 +184,13 @@ def mutual_gate(idx: jnp.ndarray, reverse_idx: jnp.ndarray,
     from deepsir_tpu.ops.gather import gather_points
     n = idx.shape[-1]
     back = gather_points(reverse_idx[..., None], idx)[..., 0]   # (..., N)
-    mutual = back == jnp.arange(n, dtype=idx.dtype)
+    if tol > 0.0:
+        assert src_xyz is not None, "relaxed mutual gate needs src_xyz"
+        back_xyz = gather_points(src_xyz, back)                 # (..., N, 3)
+        d2 = jnp.sum((back_xyz - src_xyz) ** 2, axis=-1)
+        mutual = d2 <= tol * tol
+    else:
+        mutual = back == jnp.arange(n, dtype=idx.dtype)
     keep = jnp.sum(mutual, axis=-1, keepdims=True) >= min_keep
     return jnp.where(keep, mutual.astype(jnp.float32), 1.0)
 

@@ -50,6 +50,8 @@ def capture(args, trace_dir):
     if args.inlier_compute_dtype != "float32":
         cfg = replace(cfg, model=replace(
             cfg.model, inlier_compute_dtype=args.inlier_compute_dtype))
+    if args.mutual_check:
+        cfg = replace(cfg, model=replace(cfg.model, mutual_check=True))
     apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True,
@@ -161,6 +163,7 @@ if __name__ == "__main__":
     ap.add_argument("--inlier_compute_dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--refine_stride", type=int, default=1)
+    ap.add_argument("--mutual_check", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()
     # ALWAYS start from an empty dir: summarize() sums every xplane file it

@@ -41,6 +41,19 @@ def test_mutual_gate(rng):
     np.testing.assert_array_equal(got, [[1.0, 1.0, 1.0, 1.0]])
 
 
+def test_mutual_gate_relaxed(rng):
+    from deepsir_tpu.ops.distance import mutual_gate
+    idx = jnp.asarray([[2, 0, 1, 2]], dtype=jnp.int32)
+    ridx = jnp.asarray([[1, 2, 0]], dtype=jnp.int32)
+    # src3 -> ref2 -> back to src0, which sits 0.4 from src3: accepted at
+    # tol 0.5, rejected at tol 0.3 (exact-reciprocal rows are at distance 0)
+    xyz = jnp.asarray([[[0.0, 0, 0], [5, 0, 0], [10, 0, 0], [0.4, 0, 0]]])
+    got = np.asarray(mutual_gate(idx, ridx, src_xyz=xyz, tol=0.5))
+    np.testing.assert_array_equal(got, [[1.0, 1.0, 1.0, 1.0]])
+    got = np.asarray(mutual_gate(idx, ridx, src_xyz=xyz, tol=0.3))
+    np.testing.assert_array_equal(got, [[1.0, 1.0, 1.0, 0.0]])
+
+
 def test_mutual_gate_from_searches(rng):
     """End-to-end against the real NN search: mutual pairs survive, a source
     point far outside the overlap is gated (its nearest ref matches back to

@@ -45,3 +45,28 @@ def test_padded_ref_columns_never_win(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(match_argmin_single(src, ref))
     assert got.max() < 10
+
+
+@pytest.mark.parametrize("n,m,c", [(512, 2048, 64), (700, 2500, 64),
+                                   (1030, 513, 16)])
+def test_bidirectional_matches_both_oracles(rng, n, m, c):
+    from deepsir_tpu.ops.pallas_match import match_argmin_bidirectional
+    src = rng.normal(size=(n, c)).astype(np.float32)
+    ref = rng.normal(size=(m, c)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        idx, ridx = match_argmin_bidirectional(src, ref)
+    d = ((src[:, None] - ref[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), np.argmin(d, axis=1))
+    np.testing.assert_array_equal(np.asarray(ridx), np.argmin(d, axis=0))
+
+
+def test_bidirectional_padded_rows_and_cols_never_win(rng):
+    from deepsir_tpu.ops.pallas_match import match_argmin_bidirectional
+    # neither padded query rows (zeros, closer to everything than the +100
+    # offset clouds) nor padded ref columns may win either direction
+    src = rng.normal(size=(70, 32)).astype(np.float32) + 100.0
+    ref = rng.normal(size=(10, 32)).astype(np.float32) + 100.0
+    with pltpu.force_tpu_interpret_mode():
+        idx, ridx = match_argmin_bidirectional(src, ref)
+    assert np.asarray(idx).max() < 10
+    assert np.asarray(ridx).max() < 70
