@@ -110,6 +110,30 @@ def test_sharded_align_forward_matches_single_device():
                                atol=1e-5)
 
 
+def test_sharded_align_forward_with_mutual_gate_matches_single_device():
+    # mutual_check adds a REVERSE ring search (the injected matcher is
+    # argument-generic: the reverse call shards the SOURCE cloud over the
+    # model axis); the gated sharded forward must still reproduce the
+    # single-device forward
+    cfg = tiny_cfg(batch_size=4)
+    cfg = replace(cfg, model=replace(cfg.model, mutual_check=True,
+                                     mutual_check_tol=0.5))
+    arrays = synthetic_arrays(cfg, 4)
+    model, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+
+    base = make_eval_step(cfg, model, num_iter=2)
+    want_tf, want_out = base(state.params, arrays)
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    step = make_sharded_eval_step(cfg, model, mesh, num_iter=2)
+    got_tf, got_out = step(state.params, shard_batch(mesh, arrays))
+
+    np.testing.assert_array_equal(np.asarray(want_out.pred_idx),
+                                  np.asarray(got_out.pred_idx))
+    np.testing.assert_allclose(np.asarray(want_tf), np.asarray(got_tf),
+                               atol=1e-5)
+
+
 def test_sharded_train_step_runs_and_matches_single_device():
     cfg = tiny_cfg(batch_size=8)
     arrays = synthetic_arrays(cfg, 8)
