@@ -168,10 +168,13 @@ def test_forward_align_refine_stride_morton(rng):
     """refine_stride composes with morton mode: the [::stride] rows of a
     curve-sorted cloud stay curve-sorted, so the subset pyramid is built
     with strided sampling + windows (degrading gracefully to full search
-    at small N, ops/window.windowed)."""
+    at small N, ops/window.windowed). The relaxed mutual gate rides along
+    so all three opt-in knobs are exercised together (in refine mode the
+    gate's src coordinates are the strided subset's)."""
     from dataclasses import replace as dc_replace
     from deepsir_tpu.ops.morton import morton_order_np
-    cfg = dc_replace(TINY, pyramid_order="morton", knn_window_halo=1)
+    cfg = dc_replace(TINY, pyramid_order="morton", knn_window_halo=1,
+                     mutual_check=True, mutual_check_tol=0.5)
     pts = rng.normal(size=(2, cfg.num_points, 3)).astype(np.float32)
     pts = np.stack([c[morton_order_np(c)] for c in pts])
     ref = rng.normal(size=(2, cfg.num_points, 3)).astype(np.float32)
