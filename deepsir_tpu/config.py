@@ -173,6 +173,9 @@ class DataConfig:
     # robustness rung beyond the full-overlap training regime
     synthetic_noise: float = 0.01
     synthetic_p_keep: float = 1.0
+    # test-split pair-index offset: draw an INDEPENDENT eval slice from the
+    # same deterministic stream (0 = the recorded numbers' pair set)
+    synthetic_eval_offset: int = 0
 
     @property
     def thres_radius(self) -> float:
@@ -329,6 +332,8 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic_eval_size", type=int, default=32)
     p.add_argument("--synthetic_noise", type=float, default=0.01)
     p.add_argument("--synthetic_p_keep", type=float, default=1.0)
+    p.add_argument("--synthetic_eval_offset", type=int, default=0,
+                   help="test-split pair-index offset (independent slice)")
     p.add_argument("--thres_radius", type=float, default=-1.0)
     p.add_argument("--gt_match_lists", type=str2bool, default=False,
                    help="use host-computed GT match lists for the inlier BCE "
@@ -466,7 +471,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         synthetic_train_size=getattr(args, "synthetic_train_size", 256),
         synthetic_eval_size=getattr(args, "synthetic_eval_size", 32),
         synthetic_noise=getattr(args, "synthetic_noise", 0.01),
-        synthetic_p_keep=getattr(args, "synthetic_p_keep", 1.0))
+        synthetic_p_keep=getattr(args, "synthetic_p_keep", 1.0),
+        synthetic_eval_offset=getattr(args, "synthetic_eval_offset", 0))
     loss = LossConfig(
         loss_type=args.loss_type, wt_ptDist_loss=args.wt_ptDist_loss,
         wt_inlier_loss=args.wt_inlier_loss, wt_pose_loss=args.wt_pose_loss,

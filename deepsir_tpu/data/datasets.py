@@ -22,9 +22,11 @@ def _build(cfg: Config, split: str) -> PairDataset:
         from deepsir_tpu.data.synthetic import SyntheticPairs
         size = {"train": cfg.data.synthetic_train_size,
                 "test": cfg.data.synthetic_eval_size}.get(split)
+        offset = (cfg.data.synthetic_eval_offset if split == "test" else 0)
         return SyntheticPairs(cfg, split, size=size,
                               noise=cfg.data.synthetic_noise,
-                              p_keep=cfg.data.synthetic_p_keep)
+                              p_keep=cfg.data.synthetic_p_keep,
+                              offset=offset)
     raise NotImplementedError(ds)
 
 

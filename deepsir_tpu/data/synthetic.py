@@ -40,11 +40,16 @@ class SyntheticPairs(PairDataset):
     has_labels = True
 
     def __init__(self, cfg: Config, split: str = "train", size: int = None,
-                 noise: float = 0.01, p_keep: float = 1.0):
+                 noise: float = 0.01, p_keep: float = 1.0, offset: int = 0):
         super().__init__(cfg, split)
         if size is None:
             size = {"train": 256, "val": 64, "test": 32}.get(split, 64)
         self.size = size
+        # pair-index offset: shifts the deterministic (seed_base, idx)
+        # stream so INDEPENDENT eval slices can be drawn from the same
+        # split (e.g. offset=128 after a 128-pair eval); the default 0
+        # keeps every recorded number's pair set unchanged
+        self.offset = offset
         # disjoint sample streams per split
         self.seed_base = {"train": 977, "val": 1977, "test": 2977}.get(split, 977)
         self.noise = noise
@@ -58,6 +63,7 @@ class SyntheticPairs(PairDataset):
         return self.size
 
     def get_pair(self, idx: int):
+        idx = idx + self.offset
         rng = np.random.default_rng((self.seed_base, idx))
         n = max(self.num_points, 2048)
         cloud = make_structured_cloud(rng, n)          # (N, 4) xyz + label

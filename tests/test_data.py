@@ -128,6 +128,18 @@ def test_morton_mode_sorts_samples(rng):
     np.testing.assert_array_equal(ds2._cached_pair(0)[0], small)
 
 
+def test_synthetic_eval_offset_shifts_stream():
+    # offset k at index j must reproduce the UNSHIFTED stream's pair j+k
+    # (independent slices, not a reseeded stream)
+    ds0 = SyntheticPairs(TINY_CFG, "test", size=6)
+    ds3 = SyntheticPairs(TINY_CFG, "test", size=3, offset=3)
+    for j in range(3):
+        a = ds0.get_pair(j + 3)
+        b = ds3.get_pair(j)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
 def test_loader_batches():
     ds = SyntheticPairs(TINY_CFG, "train", size=5)
     loader = Loader(ds, batch_size=2, shuffle=True, num_workers=2)
