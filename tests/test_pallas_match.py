@@ -60,6 +60,20 @@ def test_bidirectional_matches_both_oracles(rng, n, m, c):
     np.testing.assert_array_equal(np.asarray(ridx), np.argmin(d, axis=0))
 
 
+def test_bidirectional_vmapped_batch(rng):
+    # the model path vmaps the kernel over the pair batch
+    # (ops/distance.py::nearest_neighbour_bidirectional)
+    import jax
+    from deepsir_tpu.ops.pallas_match import match_argmin_bidirectional
+    src = rng.normal(size=(2, 300, 32)).astype(np.float32)
+    ref = rng.normal(size=(2, 500, 32)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        idx, ridx = jax.vmap(match_argmin_bidirectional)(src, ref)
+    d = ((src[:, :, None] - ref[:, None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), np.argmin(d, axis=2))
+    np.testing.assert_array_equal(np.asarray(ridx), np.argmin(d, axis=1))
+
+
 def test_bidirectional_padded_rows_and_cols_never_win(rng):
     from deepsir_tpu.ops.pallas_match import match_argmin_bidirectional
     # neither padded query rows (zeros, closer to everything than the +100
