@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--eval_size", type=int, default=64)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--p_keep", type=float, default=0.7)
+    ap.add_argument("--rot_mag", type=float, default=None,
+                    help="override the GT rotation magnitude (deg) — the "
+                         "extrapolation-rung knob; default keeps the trained "
+                         "30 deg so recorded rungs are unchanged")
     ap.add_argument("--ckpt", type=str, default=os.path.join(
         REPO, "logs_ref_synthetic", "align_final.pth"))
     ap.add_argument("--num_iter", type=int, default=5)
@@ -53,6 +57,11 @@ def main():
     model.eval()
 
     cfg = repo_cfg("align", 256)
+    if args.rot_mag is not None:
+        # rot_mag IS read off cfg.data inside get_pair (unlike noise/p_keep),
+        # so a replace() before constructing the dataset takes effect
+        from deepsir_tpu.config import replace
+        cfg = replace(cfg, data=replace(cfg.data, rot_mag=args.rot_mag))
     # noise/p_keep are constructor kwargs — SyntheticPairs does NOT read
     # them off cfg.data (the CLI dataset factory forwards them; a cfg
     # replace() here would be silently ignored)
@@ -85,7 +94,8 @@ def main():
     icp = np.asarray(icp_rows)            # (n, 3)
     report = {
         "config": {"eval_size": args.eval_size, "noise": args.noise,
-                   "p_keep": args.p_keep, "ckpt": args.ckpt,
+                   "p_keep": args.p_keep, "rot_mag": args.rot_mag,
+                   "ckpt": args.ckpt,
                    "icp_max_corr_dist": corres_dist, "icp_iters": 30},
         "raw": {
             "succ_per_iter": raw[:, :, 0].mean(axis=0).round(4).tolist(),
