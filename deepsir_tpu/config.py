@@ -39,6 +39,13 @@ class ModelConfig:
     out_feat_dim: int = 64            # descriptor dimension
     num_classes: int = 19             # SemanticKITTI valid classes
     dropout_rate: float = 0.5
+    # normalization for the FC/MLP stacks (fc_label head + aggregation
+    # MLPs) — the ONE place the reference uses BatchNorm1d where we default
+    # to GroupNorm (models/layers.py docstring). 'batch' = stateless
+    # batch-stat norm (BN train-mode statistics; eval uses the eval batch's
+    # own stats). Default 'group' is the tree/behavior every recorded
+    # checkpoint was trained with. Label-pipeline mIoU A/B: BASELINE.md.
+    fc_norm: str = "group"            # 'group' | 'batch'
     # numerics
     compute_dtype: str = "float32"    # dtype for activations ("bfloat16" on TPU)
     knn_recall_target: float = 0.95   # <1: TPU ApproxTopK KNN (exact on CPU);
@@ -371,6 +378,11 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_knn", type=int, default=16)
     p.add_argument("--sub_sampling_ratio", type=int, nargs="+", default=[4, 4, 4, 4])
     p.add_argument("--d_out", type=int, nargs="+", default=[16, 64, 128, 256])
+    p.add_argument("--fc_norm", type=str, default="group",
+                   choices=["group", "batch"],
+                   help="normalization on the FC/MLP stacks (fc_label + "
+                        "aggregation): 'batch' = the reference's BatchNorm1d "
+                        "flavor, stateless (see models/layers.py)")
     p.add_argument("--out_feat_dim", type=int, default=64)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
@@ -441,6 +453,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         num_sub=args.num_sub, num_knn=args.num_knn,
         sub_sampling_ratio=tuple(args.sub_sampling_ratio), d_out=tuple(args.d_out),
         out_feat_dim=args.out_feat_dim, compute_dtype=args.compute_dtype,
+        fc_norm=getattr(args, "fc_norm", "group"),
         knn_recall_target=getattr(args, "knn_recall_target", 0.95),
         matcher_method=getattr(args, "matcher_method", "auto"),
         matmul_precision=getattr(args, "matmul_precision", "highest"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,12 +36,22 @@ def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class ConvUnit(nn.Module):
-    """Dense (+ GroupNorm + LeakyReLU) unit = the reference's MLP2D block
-    (RandLANet.py:58-107) in channel-last layout."""
+    """Dense (+ norm + LeakyReLU) unit = the reference's MLP2D block
+    (RandLANet.py:58-107) in channel-last layout.
+
+    norm='group' (default) is the recorded-checkpoint behavior. norm='batch'
+    is a STATELESS rendition of the reference's BatchNorm1d (which its FC/MLP
+    stacks use, RandLANet.py:12-55): per-channel statistics over every
+    non-channel axis of the call — identical to BN's train-mode statistics;
+    at eval the batch's own statistics stand in for running averages (a
+    point cloud supplies >=num_points samples per channel, so they are
+    stable at batch 1). No mutable state, so scan/shard_map/vmap stay pure.
+    """
     features: int
     use_norm: bool = True
     use_act: bool = True
     use_bias: bool = True
+    norm: str = "group"               # 'group' | 'batch'
     dtype: Any = None                 # compute dtype for the matmul
 
     @nn.compact
@@ -48,8 +59,20 @@ class ConvUnit(nn.Module):
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      kernel_init=nn.initializers.he_normal())(x)
         if self.use_norm:
-            x = nn.GroupNorm(num_groups=_num_groups(self.features),
-                             dtype=jnp.float32)(x)
+            if self.norm == "batch":
+                x = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(x, axis=axes, keepdims=True)
+                var = jnp.var(x, axis=axes, keepdims=True)
+                x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+                scale = self.param("scale", nn.initializers.ones,
+                                   (self.features,))
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                x = x * scale + bias
+            else:
+                x = nn.GroupNorm(num_groups=_num_groups(self.features),
+                                 dtype=jnp.float32)(x)
         elif self.dtype is not None:
             x = x.astype(jnp.float32)
         if self.use_act:
@@ -65,6 +88,7 @@ class MLP(nn.Module):
     channels: Sequence[int]
     full: bool = False
     use_norm: bool = True
+    norm: str = "group"
     dtype: Any = None
 
     @nn.compact
@@ -73,7 +97,8 @@ class MLP(nn.Module):
         for i, ch in enumerate(self.channels):
             last = (i == n - 1) and not self.full
             x = ConvUnit(ch, use_norm=self.use_norm and not last,
-                         use_act=not last, dtype=self.dtype)(x)
+                         use_act=not last, norm=self.norm,
+                         dtype=self.dtype)(x)
         return x
 
 

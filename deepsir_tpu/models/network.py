@@ -129,9 +129,12 @@ class Network(nn.Module):
             dtype = jnp.dtype(cfg.compute_dtype)
             dtype = None if dtype == jnp.float32 else dtype
             # aggregation MLPs (reference model.py:158-170)
-            self.mlp_feat = MLP((c, 128, c), dtype=dtype)
-            self.mlp_att = MLP((32, 64, 128, 256, c), dtype=dtype)
-            self.mlp_proj = MLP((c,), dtype=dtype)
+            # cfg.fc_norm='batch' mirrors the reference's BatchNorm1d on
+            # these stacks (its MLP helper, RandLANet.py:35-55)
+            self.mlp_feat = MLP((c, 128, c), norm=cfg.fc_norm, dtype=dtype)
+            self.mlp_att = MLP((32, 64, 128, 256, c), norm=cfg.fc_norm,
+                               dtype=dtype)
+            self.mlp_proj = MLP((c,), norm=cfg.fc_norm, dtype=dtype)
 
         if self.pipeline == "align":
             # second RandLA over [src_xyz ; matched_ref_xyz] -> 1 logit/point

@@ -183,8 +183,12 @@ class RandLA(nn.Module):
         self.mlp_out = nn.Dense(cfg.out_feat_dim, use_bias=False, dtype=dtype,
                                 kernel_init=nn.initializers.he_normal())
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
+        # (out_feat_dim, 32, C) widths are all OUTPUT layers (input width is
+        # inferred), so on 64-d features this is 64 -> 64 -> 32 -> C = the
+        # reference's fc_label exactly (RandLANet.py:284); fc_norm='batch'
+        # additionally mirrors its BatchNorm1d flavor (do_bn=True)
         self.fc_label = MLP((cfg.out_feat_dim, 32, self.num_classes),
-                            dtype=dtype)
+                            norm=cfg.fc_norm, dtype=dtype)
 
     def pos_cache(self, pyr: Pyramid) -> Tuple[PosEnc, ...]:
         """Per-encoder-level LocSE projections — scan-invariant."""
