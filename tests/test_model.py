@@ -299,3 +299,35 @@ def test_registration_machinery_with_oracle_features(rng):
     from deepsir_tpu.utils.metrics import rte_rre
     succ, rte, rre = rte_rre(tr, gt, 0.6, 5.0)
     assert succ == 1.0 and rte < 1e-4 and rre < 0.01
+
+
+def test_fc_norm_batch_mode(rng):
+    """fc_norm='batch' (the reference's BatchNorm1d flavor, stateless):
+    normalizes to per-channel zero-mean/unit-var over all non-channel axes,
+    swaps the GroupNorm params for scale/bias, and trains (finite grads)."""
+    from deepsir_tpu.models.layers import ConvUnit
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32) * 3 + 1)
+    unit = ConvUnit(8, norm="batch", use_act=False)
+    params = unit.init(jax.random.PRNGKey(0), x)
+    assert set(params["params"].keys()) == {"Dense_0", "scale", "bias"}
+    y = unit.apply(params, x)
+    # scale=1, bias=0 at init -> output is exactly the normalized pre-act
+    flat = np.asarray(y).reshape(-1, 8)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=1e-3)
+
+    # the full label pipeline runs + differentiates under fc_norm='batch'
+    from deepsir_tpu.config import replace
+    cfg = replace(TINY, fc_norm="batch")
+    batch = make_batch(rng, cfg=cfg, with_labels=True)
+    model = Network(cfg, pipeline="label")
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(p):
+        _, out = model.apply(p, batch)
+        return jnp.mean(out.logits_src ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
