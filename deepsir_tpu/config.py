@@ -295,6 +295,20 @@ class Config:
         if cfg.loss.thres_radius <= 0:
             cfg = replace(cfg, loss=replace(cfg.loss,
                                             thres_radius=cfg.data.thres_radius))
+        # --dev: a minutes-scale smoke configuration (tiny clouds, a couple
+        # of epochs over a small synthetic split) for driving the full
+        # train/validate/checkpoint loop end-to-end without a dataset or a
+        # long compile. Quality numbers from a dev run are meaningless.
+        if cfg.dev:
+            cfg = replace(
+                cfg,
+                model=replace(cfg.model, num_points=min(cfg.model.num_points,
+                                                        1024)),
+                data=replace(cfg.data, synthetic_train_size=16,
+                             synthetic_eval_size=4, num_workers=2),
+                train=replace(cfg.train, max_epochs=min(cfg.train.max_epochs,
+                                                        2)),
+            )
         return cfg
 
 

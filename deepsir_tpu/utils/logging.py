@@ -42,7 +42,11 @@ def prepare_logger(cfg, log_path: Optional[str] = None
     """
     if log_path is None:
         if getattr(cfg, "dev", False):
-            log_path = "../logdev"
+            # fixed, wiped-on-start dev run dir (reference train.py uses a
+            # literal '../logdev'; we keep it under --logdir so a dev run
+            # never writes outside the requested tree)
+            log_path = os.path.join(getattr(cfg, "logdir", "./logs"),
+                                    "logdev")
             shutil.rmtree(log_path, ignore_errors=True)
         else:
             stamp = datetime.now().strftime("%y%m%d_%H%M%S")

@@ -101,6 +101,8 @@ def summarize(trace_dir, reps):
     assert paths, f"no xplane under {trace_dir}"
     by_name = defaultdict(float)
     total = 0.0
+    # (start, end) intervals per trace line, for the union-based busy figure
+    sync_iv, async_iv = [], []
     for path in paths:
         xs = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -117,16 +119,42 @@ def summarize(trace_dir, reps):
                     dur = ev.duration_ps / 1e12
                     by_name[name] += dur
                     total += dur
-    # async copy/slice -start events span their whole in-flight window,
-    # OVERLAPPING the compute they hide behind — counting them as busy time
-    # double-counts; report them separately
-    async_spans = sum(d for n, d in by_name.items()
-                      if "-start" in n or "-done" in n)
-    busy = total - async_spans
-    print(f"\ndevice op time total: {total / reps * 1e3:.2f} ms/call "
-          f"({reps} calls); busy (excl. async DMA spans): "
-          f"{busy / reps * 1e3:.2f} ms/call, async spans "
-          f"{async_spans / reps * 1e3:.2f} ms/call")
+                    iv = (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                    if "-start" in name or "-done" in name:
+                        async_iv.append(iv)
+                    else:
+                        sync_iv.append(iv)
+
+    def union_len(iv):
+        iv.sort()
+        tot = 0
+        cur_s = cur_e = None
+        for s, e in iv:
+            if cur_s is None:
+                cur_s, cur_e = s, e
+            elif s <= cur_e:
+                cur_e = max(cur_e, e)
+            else:
+                tot += cur_e - cur_s
+                cur_s, cur_e = s, e
+        if cur_s is not None:
+            tot += cur_e - cur_s
+        return tot / 1e12
+
+    # The per-op duration SUM double-counts twice over: (a) wrapper events
+    # (%while scan spans cover their own body ops on the same line — observed
+    # +42 ms/call phantom busy from the registration scan wrapper alone), and
+    # (b) async copy/slice -start events that span their whole in-flight
+    # window, overlapping the compute they hide behind. The headline busy is
+    # therefore the INTERVAL UNION of non-async events; async DMA span union
+    # is reported separately (it mostly overlaps compute).
+    busy = union_len(sync_iv)
+    async_spans = union_len(async_iv)
+    print(f"\ndevice busy (interval union, excl. async DMA): "
+          f"{busy / reps * 1e3:.2f} ms/call ({reps} calls); "
+          f"async DMA span union {async_spans / reps * 1e3:.2f} ms/call; "
+          f"naive duration sum {total / reps * 1e3:.2f} ms/call "
+          f"(double-counts wrapper + async spans — do not quote)")
 
     def bucket(name):
         for key in ("fusion", "dynamic-slice", "gather", "scatter", "dot",

@@ -272,3 +272,18 @@ def test_checkpoint_roundtrip_and_partial(tmp_path):
     fe_l = jax.tree_util.tree_leaves(state_l.params["params"]["feat_extractor"])
     for a, b in zip(fe_new, fe_l):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_dev_mode_shrinks_config():
+    # --dev must produce a minutes-scale smoke run: tiny clouds, a tiny
+    # synthetic split, and a couple of epochs (it was once parsed but never
+    # consumed, so `train.py --dev` silently ran the FULL training)
+    cfg = Config(pipeline="align", dev=True).resolved()
+    assert cfg.model.num_points <= 1024
+    assert cfg.data.synthetic_train_size <= 16
+    assert cfg.data.synthetic_eval_size <= 4
+    assert cfg.train.max_epochs <= 2
+    # dev must never ENLARGE an explicitly smaller request
+    small = Config(pipeline="align", dev=True,
+                   model=ModelConfig(num_points=256)).resolved()
+    assert small.model.num_points == 256
