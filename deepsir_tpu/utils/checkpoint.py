@@ -87,6 +87,12 @@ class CheckPointManager:
         path = self._path(step)
         payload = {"state": serialization.to_state_dict(state), "step": step}
         save_pytree(path, payload)
+        # re-saving a step (e.g. the unconditional end-of-training save
+        # landing on the step the periodic save just wrote) must not leave
+        # a duplicate ring entry: the duplicate would consume a keep slot
+        # and, once rotation evicts the first copy, delete a file the
+        # manifest still lists
+        self._buffer = [(p, t) for (p, t) in self._buffer if p != path]
         self._buffer.append((path, time.time()))
         _logger.info("Saved checkpoint: %s (score %.4g, best %.4g)",
                      path, score, self.best_score)

@@ -274,6 +274,31 @@ def test_checkpoint_roundtrip_and_partial(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_same_step_resave_no_duplicate(tmp_path):
+    # train.py ends with an unconditional save that can land on the step the
+    # periodic save just wrote; the re-save must overwrite the ring entry,
+    # not duplicate it (a duplicate consumes a keep slot and, once rotation
+    # evicts the first copy, deletes a file the manifest still lists)
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg)
+    _, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    mgr = CheckPointManager(str(tmp_path), max_to_keep=2,
+                            keep_checkpoint_every_n_hours=1e9)
+    mgr._next_keep_time = float("inf")   # disable time pinning for the test
+    mgr.save(state, 1, score=0.5)
+    mgr.save(state, 1, score=-np.inf)    # end-of-training re-save, same step
+    assert [p for p, _ in mgr._buffer] == [mgr._path(1)]
+    mgr.save(state, 2)
+    mgr.save(state, 3)                   # rotates step 1 out exactly once
+    import os
+    files = sorted(os.listdir(tmp_path))
+    assert "model_1.msgpack" not in files
+    assert "model_2.msgpack" in files and "model_3.msgpack" in files
+    manifest = (tmp_path / "checkpoints.txt").read_text().splitlines()
+    assert manifest.count("model_2.msgpack") == 1
+    assert os.path.exists(tmp_path / "model_best.msgpack")  # -inf never displaces best
+
+
 def test_dev_mode_shrinks_config():
     # --dev must produce a minutes-scale smoke run: tiny clouds, a tiny
     # synthetic split, and a couple of epochs (it was once parsed but never
