@@ -114,12 +114,19 @@ def summarize(trace_dir, reps):
             for line in plane.lines:
                 if "XLA Ops" not in line.name:
                     continue
+                # event offsets are relative to the LINE's base timestamp —
+                # rebase to absolute picoseconds so the union over multiple
+                # lines/planes/files (multi-core traces) merges intervals on
+                # one time axis instead of silently overlapping different
+                # bases
+                base_ps = line.timestamp_ns * 1000
                 for ev in line.events:
                     name = ev_meta[ev.metadata_id].name
                     dur = ev.duration_ps / 1e12
                     by_name[name] += dur
                     total += dur
-                    iv = (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                    iv = (base_ps + ev.offset_ps,
+                          base_ps + ev.offset_ps + ev.duration_ps)
                     if "-start" in name or "-done" in name:
                         async_iv.append(iv)
                     else:

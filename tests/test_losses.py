@@ -132,6 +132,52 @@ def test_detdes_loss_separates_good_bad_features(rng):
     assert float(acc_good) > float(acc_bad)
 
 
+def test_circle_loss_overlap_det_mask(rng):
+    """overlap_det_mask must drop no-correspondent anchors from the detector
+    term and the accuracy, and leave the circle (feature) term unchanged."""
+    from deepsir_tpu.losses.detdes import circle_loss
+    n, c, radius = 32, 8, 0.3
+    # anchors 0..15 overlap the positive cloud exactly; anchors 16..31 have
+    # no in-radius correspondent (the two clouds' non-overlap halves are
+    # displaced differently). N1 == N2 is the loss's shape contract (the
+    # reference adds the row-wise positive lse to the column-wise negative
+    # lse, loss.py:556-557 — only defined for equal sizes).
+    anc = rng.uniform(-2, 2, size=(1, n, 3)).astype(np.float32)
+    anc[0, 16:] += 100.0
+    pos = anc.copy()
+    pos[0, 16:] += 500.0
+    feats = rng.normal(size=(1, n, c)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    score = np.abs(rng.normal(size=(1, n))).astype(np.float32) + 0.1
+
+    args = (jnp.asarray(feats), jnp.asarray(feats),
+            jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(score))
+    lf_ref, ld_ref, acc_ref = circle_loss(*args, thres_radius=radius)
+    lf_m, ld_m, acc_m = circle_loss(*args, thres_radius=radius,
+                                    overlap_det_mask=True)
+    np.testing.assert_allclose(float(lf_ref), float(lf_m), rtol=1e-6)
+    assert float(ld_ref) != float(ld_m)
+    # reference form: every non-overlap anchor counts diff<0 "correct";
+    # the masked accuracy counts overlap anchors only (identical feats on
+    # exact duplicates -> all correct there)
+    assert float(acc_m) == 100.0
+    # masked detector term == manual: zero diff outside the overlap half
+    dist_feat = np.sqrt(np.maximum(
+        np.sum((feats[:, :, None, :] - feats[:, None, :, :]) ** 2, -1), 0)
+        + 1e-12)
+    dist_pc = np.linalg.norm(anc[:, :, None] - pos[:, None], axis=-1)
+    false_neg = dist_pc < radius
+    dmin = np.min(dist_pc * false_neg, axis=-1, keepdims=True)
+    pos_mask = dist_pc == dmin
+    furthest = np.max(dist_feat * pos_mask, axis=-1)
+    closest = np.min(dist_feat + 1e5 * pos_mask, axis=-1)
+    diff = furthest - closest
+    has_pos = false_neg.any(-1)
+    sc = score / score.sum(axis=1, keepdims=True)
+    manual = np.mean(np.where(has_pos, diff, 0.0) * sc)
+    np.testing.assert_allclose(float(ld_m), manual, rtol=1e-3)
+
+
 # ------------------------------------------------------------ semantic
 
 def test_semantic_loss_and_ignore(rng):

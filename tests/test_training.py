@@ -299,6 +299,32 @@ def test_checkpoint_same_step_resave_no_duplicate(tmp_path):
     assert os.path.exists(tmp_path / "model_best.msgpack")  # -inf never displaces best
 
 
+def test_checkpoint_resave_of_permanent_step_stays_permanent(tmp_path):
+    # re-saving a step already promoted to the permanent list must refresh
+    # the pinned file WITHOUT re-entering it in the ring: a later rotation
+    # would os.remove a file _permanent still guarantees, and the manifest
+    # would list the name twice
+    cfg = tiny_cfg("align")
+    arrays = get_batch(cfg)
+    _, state = create_train_state(cfg, arrays, steps_per_epoch=10)
+    mgr = CheckPointManager(str(tmp_path), max_to_keep=1,
+                            keep_checkpoint_every_n_hours=1e9)
+    mgr.save(state, 1)
+    mgr.save(state, 2)                   # rotates step 1 -> time-pinned keep
+    assert [p for p, _ in mgr._permanent] == [mgr._path(1)]
+    mgr.save(state, 1)                   # re-save of the PERMANENT step
+    assert [p for p, _ in mgr._permanent] == [mgr._path(1)]
+    assert mgr._path(1) not in [p for p, _ in mgr._buffer]
+    mgr._next_keep_time = float("inf")   # no further pinning
+    mgr.save(state, 3)
+    mgr.save(state, 4)                   # rotation churns the ring
+    import os
+    files = sorted(os.listdir(tmp_path))
+    assert "model_1.msgpack" in files    # the permanent guarantee held
+    manifest = (tmp_path / "checkpoints.txt").read_text().splitlines()
+    assert manifest.count("model_1.msgpack") == 1
+
+
 def test_dev_mode_shrinks_config():
     # --dev must produce a minutes-scale smoke run: tiny clouds, a tiny
     # synthetic split, and a couple of epochs (it was once parsed but never
@@ -308,7 +334,15 @@ def test_dev_mode_shrinks_config():
     assert cfg.data.synthetic_train_size <= 16
     assert cfg.data.synthetic_eval_size <= 4
     assert cfg.train.max_epochs <= 2
-    # dev must never ENLARGE an explicitly smaller request
+    # dev must never ENLARGE an explicitly smaller request — for the data
+    # fields too (they were once hard-set, so an explicit
+    # --synthetic_eval_size 2 was silently enlarged to 4)
     small = Config(pipeline="align", dev=True,
-                   model=ModelConfig(num_points=256)).resolved()
+                   model=ModelConfig(num_points=256),
+                   data=DataConfig(synthetic_train_size=8,
+                                   synthetic_eval_size=2,
+                                   num_workers=1)).resolved()
     assert small.model.num_points == 256
+    assert small.data.synthetic_train_size == 8
+    assert small.data.synthetic_eval_size == 2
+    assert small.data.num_workers == 1
