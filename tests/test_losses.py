@@ -132,6 +132,52 @@ def test_detdes_loss_separates_good_bad_features(rng):
     assert float(acc_good) > float(acc_bad)
 
 
+def test_circle_loss_tiled_matches_materialized(rng):
+    """The streamed circle loss (protocol-scale feat training) must agree
+    with the materialized reference form — values AND gradients — including
+    a tile width that does not divide N (clamped to a divisor)."""
+    import jax
+    import jax.numpy as jnp
+    from deepsir_tpu.losses.detdes import circle_loss, circle_loss_tiled
+    b, n, c, radius = 2, 48, 8, 0.4
+    anc = rng.uniform(-2, 2, size=(b, n, 3)).astype(np.float32)
+    pos = anc + rng.normal(scale=0.1, size=(b, n, 3)).astype(np.float32)
+    # push some anchors out of overlap
+    anc[:, 40:] += 50.0
+    feats_a = rng.normal(size=(b, n, c)).astype(np.float32)
+    feats_p = rng.normal(size=(b, n, c)).astype(np.float32)
+    score = np.abs(rng.normal(size=(b, n))).astype(np.float32) + 0.1
+
+    for mask in (False, True):
+        for tile in (48, 16, 13):     # full, divisor, non-divisor (clamps)
+            ref = circle_loss(jnp.asarray(feats_a), jnp.asarray(feats_p),
+                              jnp.asarray(anc), jnp.asarray(pos),
+                              jnp.asarray(score), radius,
+                              overlap_det_mask=mask)
+            got = circle_loss_tiled(jnp.asarray(feats_a), jnp.asarray(feats_p),
+                                    jnp.asarray(anc), jnp.asarray(pos),
+                                    jnp.asarray(score), radius,
+                                    overlap_det_mask=mask, tile=tile)
+            for r, g in zip(ref[:2], got[:2]):
+                np.testing.assert_allclose(float(g), float(r), rtol=2e-4,
+                                           atol=1e-5)
+            if not mask:
+                np.testing.assert_allclose(float(got[2]), float(ref[2]),
+                                           rtol=1e-5)
+
+    # gradient equivalence through the anchor features
+    def total(fn, fa, **kw):
+        lf, ld, _ = fn(fa, jnp.asarray(feats_p), jnp.asarray(anc),
+                       jnp.asarray(pos), jnp.asarray(score), radius, **kw)
+        return lf + ld
+
+    g_ref = jax.grad(lambda fa: total(circle_loss, fa))(jnp.asarray(feats_a))
+    g_t = jax.grad(lambda fa: total(circle_loss_tiled, fa, tile=16))(
+        jnp.asarray(feats_a))
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_ref),
+                               rtol=5e-3, atol=1e-5)
+
+
 def test_circle_loss_overlap_det_mask(rng):
     """overlap_det_mask must drop no-correspondent anchors from the detector
     term and the accuracy, and leave the circle (feature) term unchanged."""
