@@ -154,3 +154,34 @@ def test_sharded_train_step_runs_and_matches_single_device():
     state_b, aux_b = base(state_a, arrays, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(aux["loss"]), float(aux_b["loss"]),
                                rtol=1e-5)
+
+
+def test_collective_contract_of_matcher_strategies():
+    """Pin the COMMUNICATION contract of the two multi-chip matching
+    strategies by inspecting compiled HLO (VERDICT r3 #9): the ring must
+    lower to exactly ONE collective-permute (inside the rotation loop) of
+    the per-device ref-shard shape and NO all-gather (the memory-blowup
+    guard — an all-gather of the ref cloud would defeat the sharding); the
+    all-gather strategy must move only the (d, N) dist+idx pair and no
+    permutes. Bytes-per-call formulas documented in PARITY.md."""
+    import re
+    mesh = make_mesh(num_data=2, num_model=4)
+    b, n, m, c = 2, 256, 512, 16
+    fs = jnp.zeros((b, n, c))
+    fr = jnp.zeros((b, m, c))
+    txt = jax.jit(make_ring_matcher(mesh)).lower(fs, fr).compile().as_text()
+    cps = re.findall(r"= (\S+) collective-permute", txt)
+    assert len(cps) == 1, cps
+    # per-hop payload = (B/d_data, M/d_model, C) — one rotating ref shard
+    assert cps[0] == f"f32[{b // 2},{m // 4},{c}]{{2,1,0}}", cps
+    assert "all-gather" not in txt
+    assert "all-reduce" not in txt
+
+    fs1, fr1 = jnp.zeros((n, c)), jnp.zeros((m, c))
+    txt2 = jax.jit(
+        lambda a, b_: sharded_nearest_neighbour_index(a, b_, mesh)
+    ).lower(fs1, fr1).compile().as_text()
+    ags = re.findall(r"= (\S+) all-gather", txt2)
+    # one (d, N) gather each for the f32 dists and s32 global indices
+    assert sorted(ags) == [f"f32[4,{n}]{{1,0}}", f"s32[4,{n}]{{1,0}}"], ags
+    assert "collective-permute" not in txt2
