@@ -88,6 +88,17 @@ class ModelConfig:
     # is cast back to fp32 before the sigmoid/Kabsch. Quality-gated like
     # every numerics knob: flip only with a clean 128-pair held-out A/B.
     inlier_compute_dtype: str = "float32"
+    # Depth of the inlier RandLA's encoder-decoder (0 = same as the backbone,
+    # the reference scheme — its inlier net reuses the full 4-level
+    # architecture, network/model.py:191-193 + 551-601). The inlier head is a
+    # binary classifier that runs EVERY registration iteration; encoder
+    # levels cost near-equal HBM bytes (N drops 4x/level while width doubles),
+    # so truncating to L levels removes ~(num_layers-L)/num_layers of the
+    # scan's per-iteration encoder+decoder traffic. <num_layers changes the
+    # inlier param tree: requires retraining the align stage; quality-gated
+    # at 128 pairs like every knob. The truncated net consumes the SAME
+    # source pyramid (extra levels are simply unused).
+    inlier_num_layers: int = 0
     # Coarse-refine iteration split (opt-in, eval-only; 1 = reference
     # behavior). >1: registration iteration 1 runs at full N, iterations
     # 2..K on every stride-th source point (a uniform subsample under both
@@ -449,6 +460,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    choices=["default", "high", "highest"])
     p.add_argument("--matcher_matmul_precision", type=str, default="default",
                    choices=["default", "high", "highest"])
+    p.add_argument("--inlier_num_layers", type=int, default=0,
+                   help="encoder-decoder depth of the inlier RandLA (0 = "
+                        "backbone depth); <backbone depth needs an align "
+                        "retrain")
     p.add_argument("--inlier_compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation dtype for the inlier RandLA only "
@@ -517,6 +532,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         matcher_matmul_precision=getattr(args, "matcher_matmul_precision",
                                          "default"),
         inlier_compute_dtype=getattr(args, "inlier_compute_dtype", "float32"),
+        inlier_num_layers=getattr(args, "inlier_num_layers", 0),
         refine_stride=getattr(args, "refine_stride", 1),
         pyramid_order=getattr(args, "pyramid_order", "shuffled"),
         knn_window_halo=getattr(args, "knn_window_halo", 1),

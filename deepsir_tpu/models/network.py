@@ -147,6 +147,14 @@ class Network(nn.Module):
             # forward — halving its activation bytes is pure wall-clock
             inlier_cfg = cfg_replace(cfg, feat_len=6, use_ppf=False,
                                      compute_dtype=cfg.inlier_compute_dtype)
+            if 0 < cfg.inlier_num_layers < cfg.num_layers:
+                # truncated inlier pyramid (cfg.inlier_num_layers docstring):
+                # the shallower net consumes the first L levels of the same
+                # source pyramid — no data-layer change
+                L = cfg.inlier_num_layers
+                inlier_cfg = cfg_replace(
+                    inlier_cfg, d_out=cfg.d_out[:L],
+                    sub_sampling_ratio=cfg.sub_sampling_ratio[:L])
             self.inlier_model = RandLA(inlier_cfg, num_classes=1)
 
     # ------------------------------------------------------------------ core

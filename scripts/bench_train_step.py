@@ -25,6 +25,15 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--pipeline", default="align",
+                    choices=["align", "feat", "label"])
+    ap.add_argument("--circle_loss_tile", type=int, default=0,
+                    help="feat pipeline: stream the circle loss in tiles of "
+                         "this many positive columns (0 = materialize; at "
+                         "18000 pts the materialized matrices are ~1.3 GB "
+                         "each per batch element)")
+    ap.add_argument("--num_sub", type=int, default=-1,
+                    help="feat pipeline: top-k keypoint sub-selection")
     args = ap.parse_args()
 
     import jax
@@ -38,16 +47,20 @@ def main():
                                       make_train_step)
     from deepsir_tpu.utils.prefetch import device_prefetch
 
-    cfg = Config(pipeline="align", model=ModelConfig(
-        feat_len=4, num_points=args.points,
+    from deepsir_tpu.config import replace
+    cfg = Config(pipeline=args.pipeline, model=ModelConfig(
+        feat_len=4, num_points=args.points, num_sub=args.num_sub,
         compute_dtype=args.compute_dtype)).resolved()
+    if args.circle_loss_tile:
+        cfg = replace(cfg, loss=replace(
+            cfg.loss, circle_loss_tile=args.circle_loss_tile))
     apply_matmul_precision(cfg)
 
     rng = np.random.default_rng(0)
     b, n = args.batch, args.points
 
     def make_arrays():
-        return {
+        arrays = {
             "points_src": np.concatenate(
                 [rng.normal(size=(b, n, 3)).astype(np.float32) * 10,
                  rng.uniform(size=(b, n, 1)).astype(np.float32)], -1),
@@ -57,6 +70,12 @@ def main():
             "transform_gt": np.tile(np.eye(3, 4, dtype=np.float32),
                                     (b, 1, 1)),
         }
+        if args.pipeline == "label":
+            arrays["labels_src"] = rng.integers(
+                0, 19, size=(b, n)).astype(np.int32)
+            arrays["labels_ref"] = rng.integers(
+                0, 19, size=(b, n)).astype(np.int32)
+        return arrays
 
     model, state = create_train_state(cfg, make_arrays(), steps_per_epoch=100)
     tx = make_optimizer(cfg, 100)

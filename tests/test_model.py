@@ -128,6 +128,33 @@ def test_forward_align_bf16_inlier_only(rng):
     np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=0.05)
 
 
+def test_forward_align_truncated_inlier_net(rng):
+    """inlier_num_layers=1 on a 2-level backbone: the inlier RandLA keeps
+    only the first encoder level (consuming the same source pyramid), its
+    param tree shrinks accordingly, and the align forward still produces
+    finite proper-rotation poses over the scan."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg = dc_replace(TINY, inlier_num_layers=1)
+    model = Network(cfg, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    inlier = params["params"]["inlier_model"]
+    assert "enc_0" in inlier and "enc_1" not in inlier
+    assert "dec_0" in inlier and "dec_1" not in inlier
+    full = Network(TINY, pipeline="align").init(
+        jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    assert "enc_1" in full["params"]["inlier_model"]
+    # backbone is untouched: its subtree matches the full-depth init exactly
+    assert (jax.tree_util.tree_structure(params["params"]["feat_extractor"])
+            == jax.tree_util.tree_structure(full["params"]["feat_extractor"]))
+    transforms, out = model.apply(params, batch, ForwardOptions(num_iter=2))
+    assert transforms.shape == (2, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+    dets = np.linalg.det(np.asarray(transforms)[..., :3])
+    assert np.all(dets > 0.9)
+    assert not np.any(np.asarray(out.invalid))
+
+
 def test_forward_align_refine_stride(rng):
     """refine_stride=2: iteration 1 is computed identically to the default
     path (same full-cloud body, same weights), later iterations run on the
