@@ -33,6 +33,7 @@ from deepsir_tpu.losses.semantic import (LABEL_NAMES, SemanticMetric,
 from deepsir_tpu.math import se3, se3_np
 from deepsir_tpu.ops.gather import gather_points
 from deepsir_tpu.ops.icp import icp
+from deepsir_tpu.utils.xlsx import write_xlsx
 from deepsir_tpu.utils.metrics import (compute_metrics, print_metrics, rte_rre,
                                        summarize_metrics)
 from deepsir_tpu.utils.prefetch import device_prefetch
@@ -311,9 +312,10 @@ def save_eval_align(pred_transforms: np.ndarray, endpoints: Dict,
                     metrics: List[Dict[str, np.ndarray]],
                     summary: Dict[str, float], save_path: str) -> None:
     """Persist eval artifacts (reference save_eval_align, test.py:269-305):
-    pred_transforms.npy, endpoint arrays, per-iteration metric tables
-    (CSV; the reference writes xlsx — openpyxl isn't available here, the
-    content is identical), summary_metrics.json."""
+    pred_transforms.npy, endpoint arrays, per-iteration metric tables —
+    both metrics.xlsx (one worksheet per iteration, the reference's
+    ExcelWriter layout via the dependency-free utils/xlsx writer) and
+    per-iteration CSVs with identical content — plus summary_metrics.json."""
     os.makedirs(save_path, exist_ok=True)
     np.save(os.path.join(save_path, "pred_transforms.npy"), pred_transforms)
     for k, v in endpoints.items():
@@ -323,16 +325,19 @@ def save_eval_align(pred_transforms: np.ndarray, endpoints: Dict,
             with open(os.path.join(save_path, f"{k}.pickle"), "wb") as fid:
                 pickle.dump(v, fid)
 
+    sheets = {}
     for i, m in enumerate(metrics):
         m = dict(m)
         m["r_rmse"] = np.sqrt(m.pop("r_mse"))
         m["t_rmse"] = np.sqrt(m.pop("t_mse"))
         keys = list(m)
         rows = np.stack([np.asarray(m[k], dtype=np.float64) for k in keys], 1)
+        sheets[f"metrics_{i + 1}"] = (keys, rows)
         with open(os.path.join(save_path, f"metrics_iter_{i + 1}.csv"), "w") as f:
             f.write(",".join(keys) + "\n")
             for row in rows:
                 f.write(",".join(f"{x:.8g}" for x in row) + "\n")
+    write_xlsx(os.path.join(save_path, "metrics.xlsx"), sheets)
 
     with open(os.path.join(save_path, "summary_metrics.json"), "w") as f:
         json.dump({k: float(v) for k, v in summary.items()}, f, indent=2)

@@ -28,13 +28,19 @@ label_probe() {
   # $1 probe name, $2 model flags (shared train+eval, e.g. fc_norm — the
   # eval must rebuild the SAME param tree), $3 train-only flags
   local name=$1 model_flags=$2 train_flags=$3
+  local start; start=$(date +%s)
   step "label probe $name: train"
   # shellcheck disable=SC2086
   python train.py --pipeline label --logdir logs_r3b --name "label_$name" \
       --max_epochs 30 $model_flags $train_flags "${COMMON[@]}" "${TRAIN[@]}" \
-      > "logs_r3b/label_$name.log" 2>&1
+      > "logs_r3b/label_$name.log" 2>&1 \
+      || { echo "TRAIN FAILED: label_$name (skipping its eval)"; return 1; }
   local ckpt
-  ckpt=$(ls -d logs_r3b/*label_$name/ckpt/model_best.msgpack | tail -1)
+  ckpt=$(ls -d logs_r3b/*label_$name/ckpt/model_best.msgpack 2>/dev/null | tail -1)
+  # freshness guard (ADVICE r3): a failed/step-zero train must not hand a
+  # STALE checkpoint from an earlier same-name probe to the eval
+  [ -n "$ckpt" ] && [ "$(stat -c %Y "$ckpt")" -ge "$((start - 60))" ] \
+      || { echo "STALE/MISSING CKPT: label_$name"; return 1; }
   step "label probe $name: 128-pair CPU mIoU eval"
   # shellcheck disable=SC2086
   python scripts/run_cpu.py test.py --pipeline label --resume "$ckpt" \

@@ -53,6 +53,28 @@ def test_inference_and_evaluate_and_save(setup, tmp_path):
     with open(tmp_path / "out" / "summary_metrics.json") as f:
         assert "succ" in json.load(f)
 
+    # metrics.xlsx round-trip (reference test.py:285-292 writes one
+    # worksheet per iteration): parse the zip+XML with the stdlib and check
+    # sheet count, headers and a value against the CSV content
+    import csv
+    import zipfile
+    import xml.etree.ElementTree as ET
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(tmp_path / "out" / "metrics.xlsx") as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        assert names == ["metrics_1", "metrics_2", "metrics_3"]
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = list(sheet.iter(f"{ns}row"))
+    with open(tmp_path / "out" / "metrics_iter_1.csv") as f:
+        csv_rows = list(csv.reader(f))
+    header = [t.text for t in rows[0].iter(f"{ns}t")]
+    assert header == csv_rows[0]
+    got = [float(v.text) for v in rows[1].iter(f"{ns}v")]
+    np.testing.assert_allclose(got, [float(x) for x in csv_rows[1]],
+                               rtol=1e-6)
+    assert len(rows) == len(csv_rows)
+
 
 def test_average_poses_shrinks_rotation_jitter(rng):
     """Chordal-mean of jittered SE(3) estimates must land nearer the truth
