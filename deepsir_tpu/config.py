@@ -99,6 +99,20 @@ class ModelConfig:
     # at 128 pairs like every knob. The truncated net consumes the SAME
     # source pyramid (extra levels are simply unused).
     inlier_num_layers: int = 0
+    # Extra per-point input channels for the inlier RandLA beyond the
+    # reference's 6 ([src_xyz ; matched_ref_xyz], model.py:558-577), comma
+    # separated. The matcher already computes both quantities and throws
+    # them away, and both are the textbook partial-overlap outlier signals:
+    #   'dist'  — descriptor distance to the matched ref point (non-overlap
+    #             src points match SOMETHING, but badly)
+    #   'recip' — reciprocity residual |src_i - src[reverse(idx_i)]| in
+    #             pose-invariant source coordinates (the mutual gate's
+    #             criterion as a SOFT feature the net can learn to weigh,
+    #             instead of the hard zeroing of mutual_check; forces the
+    #             bidirectional matcher pass)
+    # Changes the inlier param tree: requires an align retrain; gated at
+    # 128 pairs like every knob.
+    inlier_extra_feats: str = ""
     # Coarse-refine iteration split (opt-in, eval-only; 1 = reference
     # behavior). >1: registration iteration 1 runs at full N, iterations
     # 2..K on every stride-th source point (a uniform subsample under both
@@ -464,6 +478,11 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    help="encoder-decoder depth of the inlier RandLA (0 = "
                         "backbone depth); <backbone depth needs an align "
                         "retrain")
+    p.add_argument("--inlier_extra_feats", type=str, default="",
+                   help="extra inlier-net input channels: comma set of "
+                        "'dist' (descriptor distance to the matched ref) "
+                        "and 'recip' (reciprocity residual); needs an "
+                        "align retrain")
     p.add_argument("--inlier_compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation dtype for the inlier RandLA only "
@@ -533,6 +552,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
                                          "default"),
         inlier_compute_dtype=getattr(args, "inlier_compute_dtype", "float32"),
         inlier_num_layers=getattr(args, "inlier_num_layers", 0),
+        inlier_extra_feats=getattr(args, "inlier_extra_feats", ""),
         refine_stride=getattr(args, "refine_stride", 1),
         pyramid_order=getattr(args, "pyramid_order", "shuffled"),
         knn_window_halo=getattr(args, "knn_window_halo", 1),

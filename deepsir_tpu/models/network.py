@@ -145,7 +145,9 @@ class Network(nn.Module):
             # precision-INSENSITIVE subgraph (see inlier_matmul_precision)
             # and the scan's largest per-iteration cost on an HBM-bound
             # forward — halving its activation bytes is pure wall-clock
-            inlier_cfg = cfg_replace(cfg, feat_len=6, use_ppf=False,
+            n_extra = len(self._inlier_extras())
+            inlier_cfg = cfg_replace(cfg, feat_len=6 + n_extra,
+                                     use_ppf=False,
                                      compute_dtype=cfg.inlier_compute_dtype)
             if 0 < cfg.inlier_num_layers < cfg.num_layers:
                 # truncated inlier pyramid (cfg.inlier_num_layers docstring):
@@ -156,6 +158,13 @@ class Network(nn.Module):
                     inlier_cfg, d_out=cfg.d_out[:L],
                     sub_sampling_ratio=cfg.sub_sampling_ratio[:L])
             self.inlier_model = RandLA(inlier_cfg, num_classes=1)
+
+    def _inlier_extras(self):
+        """Parsed cfg.inlier_extra_feats (see its docstring), order-stable."""
+        names = [s.strip() for s in self.cfg.inlier_extra_feats.split(",")
+                 if s.strip()]
+        assert all(n in ("dist", "recip") for n in names), names
+        return names
 
     # ------------------------------------------------------------------ core
 
@@ -329,25 +338,44 @@ class Network(nn.Module):
                     return nearest_neighbour_index(
                         a, b, low_precision=lp, method=cfg.matcher_method)
 
+                extras = mdl._inlier_extras()
+                need_ridx = cfg.mutual_check or "recip" in extras
                 with _matmul_precision(cfg.matcher_matmul_precision):
-                    if cfg.mutual_check and mdl.matcher is None:
-                        # both directions for the reciprocity gate below in
-                        # ONE fused pass over the distance tiles on TPU
-                        # (ops/pallas_match.py::match_argmin_bidirectional)
+                    if need_ridx and mdl.matcher is None:
+                        # both directions for the reciprocity gate/feature
+                        # below in ONE fused pass over the distance tiles on
+                        # TPU (ops/pallas_match.py::match_argmin_bidirectional)
                         idx, ridx = nearest_neighbour_bidirectional(
                             fs, fr, low_precision=lp,
                             method=cfg.matcher_method)
                     else:
                         idx = search(fs, fr)                      # (B, N)
-                        if cfg.mutual_check:
+                        if need_ridx:
                             # injected (ring) matcher: reverse call shards
                             # the SOURCE cloud — the matcher is
                             # argument-generic
                             ridx = search(fr, fs)                 # (B, M)
                 xyz_ref_new = gather_points(xyz_ref, idx)         # (B, N, 3)
 
-                # learned inlier confidence over concatenated pair coords
-                pair_feats = jnp.concatenate([xyz_src, xyz_ref_new], axis=-1)
+                # learned inlier confidence over concatenated pair coords,
+                # plus the opt-in outlier-signal channels the matcher
+                # computes anyway (cfg.inlier_extra_feats docstring). Both
+                # are inputs to the only trainable subnet, so gradients stop
+                # at them like at the coordinates.
+                feats = [xyz_src, xyz_ref_new]
+                if "dist" in extras:
+                    matched_desc = gather_points(fr, idx)         # (B, N, C)
+                    feats.append(jax.lax.stop_gradient(jnp.linalg.norm(
+                        fs - matched_desc, axis=-1, keepdims=True)))
+                if "recip" in extras:
+                    # |src_i - src[reverse(idx_i)]| in pose-invariant source
+                    # coordinates — the mutual gate's criterion as a soft
+                    # per-point feature
+                    back = gather_points(xyz0, ridx)              # (B, M, 3)
+                    feats.append(jnp.linalg.norm(
+                        gather_points(back, idx) - xyz0, axis=-1,
+                        keepdims=True))
+                pair_feats = jnp.concatenate(feats, axis=-1)
                 with _matmul_precision(cfg.inlier_matmul_precision):
                     _, inlier_logit = mdl.inlier_model(
                         pair_feats, pyramid, train=train,

@@ -155,6 +155,38 @@ def test_forward_align_truncated_inlier_net(rng):
     assert not np.any(np.asarray(out.invalid))
 
 
+def test_forward_align_inlier_extra_feats(rng):
+    """inlier_extra_feats='dist,recip': the inlier net's input grows to 8
+    channels (descriptor distance + reciprocity residual), the bidirectional
+    matcher pass is triggered without the hard gate, and the align forward
+    stays finite/proper. mlp_pre's kernel input width pins the channel
+    count."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg = dc_replace(TINY, inlier_extra_feats="dist,recip")
+    model = Network(cfg, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    pre = params["params"]["inlier_model"]["mlp_pre"]["Dense_0"]["kernel"]
+    assert pre.shape[0] == 8
+    base = Network(TINY, pipeline="align").init(
+        jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    assert base["params"]["inlier_model"]["mlp_pre"]["Dense_0"]["kernel"].shape[0] == 6
+    transforms, out = model.apply(params, batch, ForwardOptions(num_iter=2))
+    assert transforms.shape == (2, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+    dets = np.linalg.det(np.asarray(transforms)[..., :3])
+    assert np.all(dets > 0.9)
+    # gradients still reach the inlier net through the BCE path
+    def loss(p):
+        t, o = model.apply(p, batch, ForwardOptions(num_iter=2))
+        return jnp.sum(jax.nn.sigmoid(o.inlier_logits))
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(
+                    g["params"]["inlier_model"]))
+    assert gnorm > 0
+
+
 def test_forward_align_refine_stride(rng):
     """refine_stride=2: iteration 1 is computed identically to the default
     path (same full-cloud body, same weights), later iterations run on the
