@@ -80,6 +80,9 @@ def main():
         inlier_compute_dtype=os.environ.get("DEEPSIR_BENCH_INLIER_DTYPE",
                                             "float32"),
         refine_stride=int(os.environ.get("DEEPSIR_BENCH_REFINE_STRIDE", "1")),
+        # neighbour truncation for the inlier RandLA (0 = full num_knn);
+        # the registration scan's feature-gather rows scale with this
+        inlier_num_knn=int(os.environ.get("DEEPSIR_BENCH_INLIER_KNN", "0")),
         # morton: host-side curve sort below + strided pyramid subsample +
         # windowed per-level KNN, exactly the data-layer contract
         pyramid_order=os.environ.get("DEEPSIR_BENCH_ORDER", "shuffled"))

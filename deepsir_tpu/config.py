@@ -99,6 +99,17 @@ class ModelConfig:
     # at 128 pairs like every knob. The truncated net consumes the SAME
     # source pyramid (extra levels are simply unused).
     inlier_num_layers: int = 0
+    # Neighbour count for the inlier RandLA only (0 = num_knn, the reference
+    # scheme — one K for every net). KNN lists are distance-ascending, so a
+    # first-k slice of the source pyramid (ops/pyramid.py::slice_neighbours)
+    # is the exact k-NN subgraph: the inlier net's level-0 feature gathers
+    # are the registration scan's dominant cost (~16 ms of the 64.6 ms bs2
+    # device budget, BASELINE.md round 4) and gather cost scales with ROW
+    # COUNT (~6 ns/row, width-independent), so k=8 halves them. AttPooling
+    # params are per-channel -> the param tree is UNCHANGED and existing
+    # checkpoints evaluate directly at any k; quality-gated at 128 pairs
+    # like every knob.
+    inlier_num_knn: int = 0
     # Extra per-point input channels for the inlier RandLA beyond the
     # reference's 6 ([src_xyz ; matched_ref_xyz], model.py:558-577), comma
     # separated. The matcher already computes both quantities and throws
@@ -478,6 +489,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    help="encoder-decoder depth of the inlier RandLA (0 = "
                         "backbone depth); <backbone depth needs an align "
                         "retrain")
+    p.add_argument("--inlier_num_knn", type=int, default=0,
+                   help="neighbour count for the inlier RandLA only (0 = "
+                        "num_knn); param tree unchanged, checkpoints "
+                        "evaluate directly at any k < num_knn")
     p.add_argument("--inlier_extra_feats", type=str, default="",
                    help="extra inlier-net input channels: comma set of "
                         "'dist' (descriptor distance to the matched ref) "
@@ -552,6 +567,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
                                          "default"),
         inlier_compute_dtype=getattr(args, "inlier_compute_dtype", "float32"),
         inlier_num_layers=getattr(args, "inlier_num_layers", 0),
+        inlier_num_knn=getattr(args, "inlier_num_knn", 0),
         inlier_extra_feats=getattr(args, "inlier_extra_feats", ""),
         refine_stride=getattr(args, "refine_stride", 1),
         pyramid_order=getattr(args, "pyramid_order", "shuffled"),

@@ -30,7 +30,7 @@ from deepsir_tpu.ops.distance import (mutual_gate,
                                       nearest_neighbour_bidirectional,
                                       nearest_neighbour_index)
 from deepsir_tpu.ops.gather import gather_points
-from deepsir_tpu.ops.pyramid import Pyramid
+from deepsir_tpu.ops.pyramid import Pyramid, slice_neighbours
 from deepsir_tpu.ops.svd3 import weighted_kabsch
 
 
@@ -309,9 +309,13 @@ class Network(nn.Module):
         # pyramid with only its input features changing, so its LocSE
         # positional branch (xyz neighbour gathers + 10-ch encoding + two
         # ConvUnits per level) is loop-invariant: compute it ONCE here —
-        # XLA does not hoist these multi-MB fusions out of the scan itself
+        # XLA does not hoist these multi-MB fusions out of the scan itself.
+        # cfg.inlier_num_knn > 0 truncates the neighbour lists to the k
+        # nearest for the inlier net only (its config docstring) — the
+        # scan's per-iteration feature-gather rows scale with k.
+        pyr_inlier = slice_neighbours(batch.pyramid_src, cfg.inlier_num_knn)
         with _matmul_precision(cfg.inlier_matmul_precision):
-            inlier_pos = self.inlier_model.pos_cache(batch.pyramid_src)
+            inlier_pos = self.inlier_model.pos_cache(pyr_inlier)
         # mlp_feat over the backbone features is likewise loop-invariant
         ff_src = self.mlp_feat(feat_src0)
         if stop_frozen:
@@ -423,7 +427,7 @@ class Network(nn.Module):
             return iter_body
 
         full_body = make_body(xyz_src0, score_src, ff_src,
-                              batch.pyramid_src, inlier_pos, batch.mask_src)
+                              pyr_inlier, inlier_pos, batch.mask_src)
         b = xyz_src0.shape[:-2]
         identity = jnp.broadcast_to(jnp.eye(3, 4, dtype=xyz_src0.dtype),
                                     b + (3, 4))
@@ -501,6 +505,7 @@ class Network(nn.Module):
                                 cfg.sub_sampling_ratio,
                                 recall_target=cfg.knn_recall_target,
                                 sample=sample, window_halo=halo)
+        pyr_sub = slice_neighbours(pyr_sub, cfg.inlier_num_knn)
         with _matmul_precision(cfg.inlier_matmul_precision):
             pos_sub = self.inlier_model.pos_cache(pyr_sub)
 

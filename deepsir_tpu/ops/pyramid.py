@@ -94,3 +94,23 @@ def build_pyramid(xyz: jnp.ndarray, num_knn: int = 16,
         fn = jax.vmap(fn, in_axes=(0, None, None, None, None, None, None))
     return fn(xyz, num_knn, tuple(ratios), chunk, recall_target, sample,
               window_halo)
+
+
+def slice_neighbours(pyr: Pyramid, k: int) -> Pyramid:
+    """Truncate every neighbour list of `pyr` to its k NEAREST entries.
+
+    Valid because all KNN paths (ops/knn.py exact + ApproxTopK, ops/
+    pallas_knn.py fused + windowed) return neighbours ascending by distance,
+    so a first-k slice is the k-NN subgraph of the same pyramid. k <= 0 or
+    k >= K returns `pyr` unchanged. Param-free consumers (AttPooling learns
+    per-CHANNEL scores, max-pool is order-invariant) keep their parameter
+    trees, so a checkpoint trained at K can be evaluated at any k < K —
+    used by cfg.inlier_num_knn to halve the registration scan's dominant
+    gather-row count (BASELINE.md round 4: the inlier net's level-0 feature
+    gathers are ~16 ms of the 64.6 ms bs2 device budget at K=16).
+    """
+    if k <= 0 or k >= pyr.neigh_idx[0].shape[-1]:
+        return pyr
+    return pyr._replace(
+        neigh_idx=tuple(n[..., :k] for n in pyr.neigh_idx),
+        pool_idx=tuple(p[..., :k] for p in pyr.pool_idx))

@@ -52,6 +52,9 @@ def capture(args, trace_dir):
             cfg.model, inlier_compute_dtype=args.inlier_compute_dtype))
     if args.mutual_check:
         cfg = replace(cfg, model=replace(cfg.model, mutual_check=True))
+    if args.inlier_num_knn:
+        cfg = replace(cfg, model=replace(
+            cfg.model, inlier_num_knn=args.inlier_num_knn))
     if args.inlier_num_layers:
         # perf probe for the truncated inlier pyramid: device time is
         # weight-independent, so a random-init profile predicts the gain
@@ -205,6 +208,7 @@ if __name__ == "__main__":
                     choices=["float32", "bfloat16"])
     ap.add_argument("--refine_stride", type=int, default=1)
     ap.add_argument("--inlier_num_layers", type=int, default=0)
+    ap.add_argument("--inlier_num_knn", type=int, default=0)
     ap.add_argument("--mutual_check", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()

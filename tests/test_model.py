@@ -390,3 +390,53 @@ def test_fc_norm_batch_mode(rng):
     g = jax.grad(loss_fn)(params)
     gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_forward_align_inlier_num_knn(rng):
+    """inlier_num_knn=4 on a num_knn=8 pyramid: the inlier net consumes the
+    4-NEAREST-neighbour subgraph (KNN lists are distance-ascending), the
+    param tree is UNCHANGED (AttPooling scores are per-channel, pooling is
+    order-invariant) so checkpoints trained at full K evaluate directly,
+    and the forward stays finite/proper. inlier_num_knn=num_knn is the
+    identity."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg = dc_replace(TINY, inlier_num_knn=4)
+    model = Network(cfg, pipeline="align")
+    base = Network(TINY, pipeline="align")
+    params = base.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    params_k = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_k))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_k)):
+        assert a.shape == b.shape
+    # full-K checkpoint runs at the truncated k
+    transforms, out = model.apply(params, batch, ForwardOptions(num_iter=2))
+    assert transforms.shape == (2, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+    dets = np.linalg.det(np.asarray(transforms)[..., :3])
+    assert np.all(dets > 0.9)
+    assert not np.any(np.asarray(out.invalid))
+    # k == num_knn (and 0) are bit-identical to the baseline forward
+    t_base, _ = base.apply(params, batch, ForwardOptions(num_iter=2))
+    for k_id in (TINY.num_knn, 0):
+        m_id = Network(dc_replace(TINY, inlier_num_knn=k_id),
+                       pipeline="align")
+        t_id, _ = m_id.apply(params, batch, ForwardOptions(num_iter=2))
+        np.testing.assert_array_equal(np.asarray(t_id), np.asarray(t_base))
+
+
+def test_slice_neighbours_is_knn_subgraph(rng):
+    """slice_neighbours(pyr, k) equals a pyramid built at k directly when
+    the KNN path is exact (small N -> exact top_k): first-k of an ascending
+    list IS the k-NN set."""
+    from deepsir_tpu.ops.pyramid import slice_neighbours
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    full = build_pyramid(jnp.asarray(pts), 8, (4,), chunk=128)
+    sliced = slice_neighbours(full, 4)
+    direct = build_pyramid(jnp.asarray(pts), 4, (4,), chunk=128)
+    for a, b in zip(sliced.neigh_idx, direct.neigh_idx):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(sliced.pool_idx, direct.pool_idx):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
