@@ -83,6 +83,13 @@ def main():
         # neighbour truncation for the inlier RandLA (0 = full num_knn);
         # the registration scan's feature-gather rows scale with this
         inlier_num_knn=int(os.environ.get("DEEPSIR_BENCH_INLIER_KNN", "0")),
+        # truncated inlier pyramid depth (0 = full num_layers)
+        inlier_num_layers=int(
+            os.environ.get("DEEPSIR_BENCH_INLIER_LAYERS", "0")),
+        # opt-in outlier-signal inlier channels, e.g. "dist" or "dist,recip"
+        # (the round-4 robust-rung winner; 'recip' switches the matcher to
+        # the fused bidirectional pass)
+        inlier_extra_feats=os.environ.get("DEEPSIR_BENCH_EXTRA_FEATS", ""),
         # morton: host-side curve sort below + strided pyramid subsample +
         # windowed per-level KNN, exactly the data-layer contract
         pyramid_order=os.environ.get("DEEPSIR_BENCH_ORDER", "shuffled"))
