@@ -427,6 +427,38 @@ def test_forward_align_inlier_num_knn(rng):
         np.testing.assert_array_equal(np.asarray(t_id), np.asarray(t_base))
 
 
+def test_forward_align_combined_perf_knobs(rng):
+    """The round-4 candidate deploy set composes: truncated inlier pyramid
+    (inlier_num_layers) + k-truncated neighbourhoods (inlier_num_knn) +
+    outlier-signal input channels (inlier_extra_feats) in ONE config. Each
+    knob is unit-tested alone above; this pins the 3-way composition the
+    perf queue trains/evaluates, incl. gradient flow to the inlier net."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg = dc_replace(TINY, inlier_num_layers=1, inlier_num_knn=4,
+                     inlier_extra_feats="dist,recip")
+    model = Network(cfg, pipeline="align")
+    params = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    # extras widen the input (6 + dist + recip = 8 channels)
+    pre = params["params"]["inlier_model"]["mlp_pre"]["Dense_0"]["kernel"]
+    assert pre.shape[0] == 8
+    transforms, out = model.apply(params, batch, ForwardOptions(num_iter=2))
+    assert transforms.shape == (2, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+    dets = np.linalg.det(np.asarray(transforms)[..., :3])
+    assert np.all(dets > 0.9)
+    assert not np.any(np.asarray(out.invalid))
+
+    def loss_fn(p):
+        _, o = model.apply(p, batch, ForwardOptions(num_iter=2))
+        return jnp.sum(jax.nn.sigmoid(o.inlier_logits))
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(
+                    g["params"]["inlier_model"]))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_slice_neighbours_is_knn_subgraph(rng):
     """slice_neighbours(pyr, k) equals a pyramid built at k directly when
     the KNN path is exact (small N -> exact top_k): first-k of an ascending
