@@ -83,6 +83,11 @@ def main():
         # neighbour truncation for the inlier RandLA (0 = full num_knn);
         # the registration scan's feature-gather rows scale with this
         inlier_num_knn=int(os.environ.get("DEEPSIR_BENCH_INLIER_KNN", "0")),
+        # neighbour truncation for the backbone+scoring path (0 = full
+        # num_knn) — perf probe for the ~20 ms backbone gather+conv chunk;
+        # quality-sensitive (descriptor path), gate before any default use
+        backbone_num_knn=int(
+            os.environ.get("DEEPSIR_BENCH_BACKBONE_KNN", "0")),
         # truncated inlier pyramid depth (0 = full num_layers)
         inlier_num_layers=int(
             os.environ.get("DEEPSIR_BENCH_INLIER_LAYERS", "0")),

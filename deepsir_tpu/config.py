@@ -110,6 +110,18 @@ class ModelConfig:
     # checkpoints evaluate directly at any k; quality-gated at 128 pairs
     # like every knob.
     inlier_num_knn: int = 0
+    # Neighbour count for the BACKBONE + scoring path (0 = num_knn, the
+    # reference scheme). Same exact-k-NN-subgraph slice as inlier_num_knn
+    # (first-k of the distance-ascending lists), applied to both clouds'
+    # pyramids inside backbone_pair/score_pair; the inlier net keeps its
+    # own knob (sliced independently from the FULL lists). Param tree
+    # unchanged (AttPooling is per-channel), so existing checkpoints
+    # evaluate at any k — but the DESCRIPTOR path is the precision- and
+    # context-sensitive one (bf16 and f16-transfer A/Bs both lost on it),
+    # so this knob is a perf PROBE requiring its own 128-pair quality gate
+    # before any use. Targets the backbone's ~20 ms of L0 gather+conv
+    # fusions (second-largest chunk of the bs2 device budget).
+    backbone_num_knn: int = 0
     # Extra per-point input channels for the inlier RandLA beyond the
     # reference's 6 ([src_xyz ; matched_ref_xyz], model.py:558-577), comma
     # separated. The matcher already computes both quantities and throws
@@ -493,6 +505,10 @@ def _add_net_arguments(p: argparse.ArgumentParser) -> None:
                    help="neighbour count for the inlier RandLA only (0 = "
                         "num_knn); param tree unchanged, checkpoints "
                         "evaluate directly at any k < num_knn")
+    p.add_argument("--backbone_num_knn", type=int, default=0,
+                   help="neighbour count for the backbone+scoring path (0 = "
+                        "num_knn); exact k-NN subgraph slice, param tree "
+                        "unchanged — perf probe, quality-gate before use")
     p.add_argument("--inlier_extra_feats", type=str, default="",
                    help="extra inlier-net input channels: comma set of "
                         "'dist' (descriptor distance to the matched ref) "
@@ -568,6 +584,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         inlier_compute_dtype=getattr(args, "inlier_compute_dtype", "float32"),
         inlier_num_layers=getattr(args, "inlier_num_layers", 0),
         inlier_num_knn=getattr(args, "inlier_num_knn", 0),
+        backbone_num_knn=getattr(args, "backbone_num_knn", 0),
         inlier_extra_feats=getattr(args, "inlier_extra_feats", ""),
         refine_stride=getattr(args, "refine_stride", 1),
         pyramid_order=getattr(args, "pyramid_order", "shuffled"),

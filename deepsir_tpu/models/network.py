@@ -210,6 +210,11 @@ class Network(nn.Module):
         pyr = jax.tree_util.tree_map(
             lambda a, c: jnp.concatenate([a, c], axis=0),
             batch.pyramid_src, batch.pyramid_ref)
+        # opt-in first-k truncation of the backbone's neighbourhoods (exact
+        # k-NN subgraph — lists are distance-ascending; param tree
+        # unchanged). cfg.backbone_num_knn docstring: perf probe, own
+        # quality gate required — the descriptor path is context-sensitive.
+        pyr = slice_neighbours(pyr, self.cfg.backbone_num_knn)
         feat, logits = self.backbone(pts, pyr, train)
         return (feat[:b], logits[:b], feat[b:], logits[b:],
                 pts[..., :3], pyr)
@@ -224,6 +229,11 @@ class Network(nn.Module):
                                batch.points_ref[..., :3]], axis=0)
         neigh = jnp.concatenate([batch.pyramid_src.neigh_idx[0],
                                  batch.pyramid_ref.neigh_idx[0]], axis=0)
+        if self.cfg.backbone_num_knn > 0:
+            # consistent with the truncated backbone neighbourhoods
+            # (backbone_pair): scoring's local-max/mean-distance terms see
+            # the same k-NN subgraph
+            neigh = neigh[..., :self.cfg.backbone_num_knn]
         score = score_points(feat, xyz, logits, neigh)
         return score[:b], score[b:]
 

@@ -61,6 +61,9 @@ def capture(args, trace_dir):
         # before any retrain
         cfg = replace(cfg, model=replace(
             cfg.model, inlier_num_layers=args.inlier_num_layers))
+    if args.backbone_num_knn:
+        cfg = replace(cfg, model=replace(
+            cfg.model, backbone_num_knn=args.backbone_num_knn))
     apply_matmul_precision(cfg)
     model = Network(cfg.model, pipeline="align")
     opts = ForwardOptions(num_iter=args.iters, clip_weight=True,
@@ -209,6 +212,7 @@ if __name__ == "__main__":
     ap.add_argument("--refine_stride", type=int, default=1)
     ap.add_argument("--inlier_num_layers", type=int, default=0)
     ap.add_argument("--inlier_num_knn", type=int, default=0)
+    ap.add_argument("--backbone_num_knn", type=int, default=0)
     ap.add_argument("--mutual_check", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/deepsir_trace")
     args = ap.parse_args()

@@ -427,6 +427,41 @@ def test_forward_align_inlier_num_knn(rng):
         np.testing.assert_array_equal(np.asarray(t_id), np.asarray(t_base))
 
 
+def test_forward_align_backbone_num_knn(rng):
+    """backbone_num_knn=4 on a num_knn=8 pyramid: the BACKBONE + scoring
+    path consumes the 4-nearest-neighbour subgraph (same first-k slice as
+    inlier_num_knn, applied to both clouds' pyramids in backbone_pair and
+    to scoring's level-0 lists), the param tree is UNCHANGED so full-K
+    checkpoints evaluate directly, and the forward stays finite/proper.
+    k == num_knn (and 0) are the identity. Perf probe for the backbone's
+    L0 gather+conv chunk — requires its own quality gate (the descriptor
+    path is the precision/context-sensitive one)."""
+    from dataclasses import replace as dc_replace
+    batch = make_batch(rng)
+    cfg = dc_replace(TINY, backbone_num_knn=4)
+    model = Network(cfg, pipeline="align")
+    base = Network(TINY, pipeline="align")
+    params = base.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    params_k = model.init(jax.random.PRNGKey(0), batch, ForwardOptions(2))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_k))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_k)):
+        assert a.shape == b.shape
+    transforms, out = model.apply(params, batch, ForwardOptions(num_iter=2))
+    assert transforms.shape == (2, 2, 3, 4)
+    assert np.all(np.isfinite(np.asarray(transforms)))
+    dets = np.linalg.det(np.asarray(transforms)[..., :3])
+    assert np.all(dets > 0.9)
+    assert not np.any(np.asarray(out.invalid))
+    t_base, _ = base.apply(params, batch, ForwardOptions(num_iter=2))
+    for k_id in (TINY.num_knn, 0):
+        m_id = Network(dc_replace(TINY, backbone_num_knn=k_id),
+                       pipeline="align")
+        t_id, _ = m_id.apply(params, batch, ForwardOptions(num_iter=2))
+        np.testing.assert_array_equal(np.asarray(t_id), np.asarray(t_base))
+
+
 def test_forward_align_combined_perf_knobs(rng):
     """The round-4 candidate deploy set composes: truncated inlier pyramid
     (inlier_num_layers) + k-truncated neighbourhoods (inlier_num_knn) +
