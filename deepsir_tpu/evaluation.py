@@ -313,8 +313,9 @@ def save_eval_align(pred_transforms: np.ndarray, endpoints: Dict,
                     summary: Dict[str, float], save_path: str) -> None:
     """Persist eval artifacts (reference save_eval_align, test.py:269-305):
     pred_transforms.npy, endpoint arrays, per-iteration metric tables —
-    both metrics.xlsx (one worksheet per iteration, the reference's
-    ExcelWriter layout via the dependency-free utils/xlsx writer) and
+    both metrics.xlsx (one 'Iter_{n}' worksheet per iteration, matching the
+    reference's ExcelWriter sheet naming, written by the dependency-free
+    utils/xlsx writer — cells only, no leading index column) and
     per-iteration CSVs with identical content — plus summary_metrics.json."""
     os.makedirs(save_path, exist_ok=True)
     np.save(os.path.join(save_path, "pred_transforms.npy"), pred_transforms)
@@ -332,7 +333,7 @@ def save_eval_align(pred_transforms: np.ndarray, endpoints: Dict,
         m["t_rmse"] = np.sqrt(m.pop("t_mse"))
         keys = list(m)
         rows = np.stack([np.asarray(m[k], dtype=np.float64) for k in keys], 1)
-        sheets[f"metrics_{i + 1}"] = (keys, rows)
+        sheets[f"Iter_{i + 1}"] = (keys, rows)
         with open(os.path.join(save_path, f"metrics_iter_{i + 1}.csv"), "w") as f:
             f.write(",".join(keys) + "\n")
             for row in rows:

@@ -13,6 +13,7 @@ which is all the eval artifact needs.
 """
 from __future__ import annotations
 
+import math
 import zipfile
 from typing import Dict, List, Sequence
 from xml.sax.saxutils import escape
@@ -71,7 +72,13 @@ def _sheet_xml(header: Sequence[str], rows: Sequence[Sequence[float]]) -> str:
     for r, row in enumerate(rows, start=2):
         out.append(f'<row r="{r}">')
         for c, v in enumerate(row):
-            out.append(f'<c r="{_col_name(c)}{r}"><v>{float(v):.10g}</v></c>')
+            f = float(v)
+            if math.isfinite(f):
+                out.append(f'<c r="{_col_name(c)}{r}"><v>{f:.10g}</v></c>')
+            else:
+                # NaN/inf are not valid OOXML numeric cells; write a blank
+                # cell, matching pandas' ExcelWriter behaviour for NaN.
+                out.append(f'<c r="{_col_name(c)}{r}"/>')
         out.append("</row>\n")
     out.append("</sheetData>\n</worksheet>")
     return "".join(out)

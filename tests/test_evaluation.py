@@ -63,7 +63,7 @@ def test_inference_and_evaluate_and_save(setup, tmp_path):
     with zipfile.ZipFile(tmp_path / "out" / "metrics.xlsx") as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
-        assert names == ["metrics_1", "metrics_2", "metrics_3"]
+        assert names == ["Iter_1", "Iter_2", "Iter_3"]
         sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
         rows = list(sheet.iter(f"{ns}row"))
     with open(tmp_path / "out" / "metrics_iter_1.csv") as f:
@@ -74,6 +74,28 @@ def test_inference_and_evaluate_and_save(setup, tmp_path):
     np.testing.assert_allclose(got, [float(x) for x in csv_rows[1]],
                                rtol=1e-6)
     assert len(rows) == len(csv_rows)
+
+
+def test_xlsx_nonfinite_cells_written_blank(tmp_path):
+    # NaN/inf are not valid OOXML numeric cells; the writer must emit blank
+    # cells for them (pandas ExcelWriter parity) so one bad metric doesn't
+    # corrupt the whole workbook.
+    import zipfile
+    import xml.etree.ElementTree as ET
+    from deepsir_tpu.utils.xlsx import write_xlsx
+    path = str(tmp_path / "nan.xlsx")
+    write_xlsx(path, {"Iter_1": (["a", "b", "c"],
+                                 [[1.0, float("nan") , float("inf")]])})
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    data_row = list(sheet.iter(f"{ns}row"))[1]
+    cells = list(data_row.iter(f"{ns}c"))
+    assert len(cells) == 3
+    vals = [c.find(f"{ns}v") for c in cells]
+    assert vals[0] is not None and float(vals[0].text) == 1.0
+    assert vals[1] is None and vals[2] is None
+    assert "nan" not in ET.tostring(sheet).decode().lower()
 
 
 def test_average_poses_shrinks_rotation_jitter(rng):
