@@ -19,6 +19,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent CPU compile cache: makes scripts/run_tests.sh's fresh-interpreter
+# per-file runs cheap, and shrinks the window for the rare XLA
+# backend_compile segfault (cache hits skip compilation entirely).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), os.pardir,
+                               ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
